@@ -1,0 +1,165 @@
+"""kNN join via iterative cell k-ring expansion + window-ranked pruning.
+
+The reference has no vector kNN operator; its nearest-neighbor machinery
+lives in gridding (quadtree radius search + per-node NN,
+alg/gdalgrid.cpp:241-427, port/cpl_quad_tree.cpp). The distributed
+re-expression: both sides get a zoom-z cell id (pure column math), query
+cells are exploded over Chebyshev-ring offsets, an equi-join on cell finds
+candidates, and ``row_number() OVER (PARTITION BY query ORDER BY dist,
+neighbor_id)`` keeps the top k — ties broken by (dist, id) to stay
+deterministic.
+
+Correctness bound: any point in a cell at Chebyshev distance ≥ r+1 from
+the query's cell is ≥ r*cell_span away, so a query is *final* once its
+k-th distance ≤ r*cell_span. Queries not final at ``radius`` are re-run
+with a doubled ring (driver loop, geometrically growing, at most
+``max_rounds``) — the per-round shuffles stay proportional to the
+*unfinished* queries only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from gdal_spark import tiling
+
+
+def _with_cell(df: DataFrame, x: str, y: str, zoom: int, px: str) -> DataFrame:
+    return df.withColumn(px + "cx", F.expr(tiling.tile_x_sql(x, zoom))).withColumn(
+        px + "cy", F.expr(tiling.tile_y_sql(y, zoom))
+    )
+
+
+def knn_join(
+    query: DataFrame,
+    neighbors: DataFrame,
+    k: int,
+    zoom: int = 8,
+    query_id: str = "qid",
+    query_x: str = "x",
+    query_y: str = "y",
+    neighbor_id: str = "nid",
+    neighbor_x: str = "x",
+    neighbor_y: str = "y",
+    radius: int = 1,
+    max_rounds: int = 4,
+    broadcast_neighbors: bool | None = None,
+) -> DataFrame:
+    """For every query row return its k nearest neighbor rows.
+
+    Output columns: query_id, neighbor_id, dist, rank (1-based).
+    Distances are planar in the coordinate space of x/y (use mercator
+    meters for geographic data). Exact: matches brute-force with ties
+    broken by (dist, neighbor_id).
+    """
+    span0 = tiling.WORLD_SPAN / (1 << zoom)
+    q = _with_cell(
+        query.select(
+            F.col(query_id).alias("__qid"),
+            F.col(query_x).alias("__qx"),
+            F.col(query_y).alias("__qy"),
+        ),
+        "__qx",
+        "__qy",
+        zoom,
+        "__q",
+    )
+    nb = _with_cell(
+        neighbors.select(
+            F.col(neighbor_id).alias("__nid"),
+            F.col(neighbor_x).alias("__nx"),
+            F.col(neighbor_y).alias("__ny"),
+        ),
+        "__nx",
+        "__ny",
+        zoom,
+        "__n",
+    )
+    if broadcast_neighbors:
+        nb = F.broadcast(nb)
+
+    done_parts: list[DataFrame] = []
+    pending = q
+    r = radius
+    for round_i in range(max_rounds):
+        offs = tiling.k_ring_offsets(r)
+        offs_df = pending.sparkSession.createDataFrame(offs, "dx INT, dy INT")
+        expanded = pending.crossJoin(F.broadcast(offs_df)).select(
+            "__qid",
+            "__qx",
+            "__qy",
+            (F.col("__qcx") + F.col("dx")).alias("__ncx"),
+            (F.col("__qcy") + F.col("dy")).alias("__ncy"),
+            "__qcx",
+            "__qcy",
+        )
+        cand = expanded.join(nb, on=["__ncx", "__ncy"], how="inner")
+        d2 = (F.col("__qx") - F.col("__nx")) ** 2 + (F.col("__qy") - F.col("__ny")) ** 2
+        w = Window.partitionBy("__qid").orderBy(F.col("__d2").asc(), F.col("__nid").asc())
+        topk = (
+            cand.withColumn("__d2", d2)
+            .withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= k)
+        )
+        # final iff k found AND kth dist within the ring-r guarantee
+        bound = float(r) * span0
+        agg = topk.groupBy("__qid").agg(
+            F.count(F.lit(1)).alias("__cnt"), F.max(F.sqrt("__d2")).alias("__kth")
+        )
+        final_ids = agg.filter(
+            (F.col("__cnt") >= k) & (F.col("__kth") <= F.lit(bound))
+        ).select("__qid")
+        if round_i == max_rounds - 1:
+            final_ids = agg.select("__qid")  # last round: accept what we have
+        final_ids = final_ids.persist()
+        done_parts.append(
+            topk.join(F.broadcast(final_ids), "__qid", "leftsemi")
+        )
+        pending = pending.join(F.broadcast(final_ids), "__qid", "leftanti")
+        if pending.isEmpty():
+            break
+        r *= 2
+
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("__qid").alias(query_id),
+        F.col("__nid").alias(neighbor_id),
+        F.sqrt("__d2").alias("dist"),
+        F.col("__rank").alias("rank"),
+    )
+
+
+def knn_join_bruteforce(
+    query: DataFrame,
+    neighbors: DataFrame,
+    k: int,
+    query_id: str = "qid",
+    query_x: str = "x",
+    query_y: str = "y",
+    neighbor_id: str = "nid",
+    neighbor_x: str = "x",
+    neighbor_y: str = "y",
+) -> DataFrame:
+    """O(N*M) oracle path (broadcast cross join + window). Small dims only."""
+    q = query.select(
+        F.col(query_id).alias("__qid"), F.col(query_x).alias("__qx"), F.col(query_y).alias("__qy")
+    )
+    nb = neighbors.select(
+        F.col(neighbor_id).alias("__nid"), F.col(neighbor_x).alias("__nx"), F.col(neighbor_y).alias("__ny")
+    )
+    d2 = (F.col("__qx") - F.col("__nx")) ** 2 + (F.col("__qy") - F.col("__ny")) ** 2
+    w = Window.partitionBy("__qid").orderBy(F.col("__d2").asc(), F.col("__nid").asc())
+    return (
+        q.crossJoin(F.broadcast(nb))
+        .withColumn("__d2", d2)
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__nid").alias(neighbor_id),
+            F.sqrt("__d2").alias("dist"),
+            F.col("__rank").alias("rank"),
+        )
+    )
