@@ -1,38 +1,771 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pages pipeline smoke (sf0.001 scale inputs).
+``queries()``   — one entry per implemented operator family (SURVEY.md §2
+                  + training-data ops); each callable: (spark, sf_dir) → DF.
+``oracle_sql()``— DuckDB-equivalent SQL per query (tables pre-registered).
+
+Determinism rules used throughout so value-hashes match bit-for-bit:
+- compared floats leave the engines as integers (floor(x*10^k + 0.5));
+- double arithmetic is emitted with the *identical* operation order in
+  both engines (shared SQL emitters in gdal_spark.tiling / sql_oracle);
+- ties in every ORDER BY / window are broken by a unique integer key.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from gdal_spark import sql_oracle, tiling
+from gdal_spark.fixtures import fixture_polygons, fixture_polyset
+from gdal_spark.operators.knn import knn_join
+from gdal_spark.operators.ogr_compat import distinct_list, first_match_join, summary_aggregates
+from gdal_spark.operators.similarity import cosine_sim_col, knn_cosine_join
+from gdal_spark.operators.spatial_join import assign_tiles, pip_counts, point_in_polygon_join
+from gdal_spark.text import analysis, dedup
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _with_lonlat(df: DataFrame, key: str) -> DataFrame:
+    return df.withColumn("lon", F.expr(sql_oracle.lon_sql(key))).withColumn(
+        "lat", F.expr(sql_oracle.lat_sql(key))
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages-style spatial pipeline over sf0.001 customers —
+    derive geotag points, assign WebMercator tiles, PIP-join against the
+    broadcast polygon fixture, count pages per polygon."""
+    pts = _with_lonlat(_t(spark, SF001, "customer"), "c_custkey")
+    tiled = assign_tiles(pts, zoom=8)
+    return pip_counts(tiled, fixture_polyset(), zoom=6).orderBy("poly_id")
 
+
+# ---------------------------------------------------------------------------
+# query/oracle registry
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _lazy_oracle(name: str, builder):
+    """Oracle whose SQL needs numpy-time computation (raster constants)."""
+    _LAZY_ORACLES[name] = builder
+
+
+_LAZY_ORACLES: dict[str, Callable[[], str]] = {}
+
+
+# -- 1. tile assignment ------------------------------------------------------
+
+_TX8, _TY8 = tiling.lonlat_tile_sql(sql_oracle.lon_sql("c_custkey"), sql_oracle.lat_sql("c_custkey"), 8)
+
+
+@_register(
+    "tile_assign_z8",
+    f"""
+    SELECT {_TX8} AS tile_x, {_TY8} AS tile_y, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1, 2 ORDER BY tile_x, tile_y
+    """,
+)
+def q_tile_assign_z8(spark, sf_dir):
+    pts = _with_lonlat(_t(spark, sf_dir, "customer"), "c_custkey")
+    return (
+        assign_tiles(pts, zoom=8)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+_TX6, _TY6 = tiling.lonlat_tile_sql(sql_oracle.lon_sql("o_orderkey"), sql_oracle.lat_sql("o_orderkey"), 6)
+
+
+@_register(
+    "tile_assign_tms_z6",
+    f"""
+    SELECT {_TX6} AS tile_x, CAST({(1 << 6) - 1} - {_TY6} AS BIGINT) AS tile_y,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1, 2 ORDER BY tile_x, tile_y
+    """,
+)
+def q_tile_assign_tms_z6(spark, sf_dir):
+    pts = _with_lonlat(_t(spark, sf_dir, "orders"), "o_orderkey")
+    return (
+        assign_tiles(pts, zoom=6, convention="tms")
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+# -- 2. point-in-polygon spatial join ---------------------------------------
+
+def _pip_oracle(key: str, table: str) -> str:
+    ids, rings = fixture_polygons()
+    mx = tiling.mercator_x_sql(sql_oracle.lon_sql(key))
+    my = tiling.mercator_y_sql(sql_oracle.lat_sql(key))
+    selects = []
+    for pid, rr in zip(ids, rings):
+        contains = sql_oracle.polygon_contains_sql(mx, my, rr)
+        selects.append(
+            f"SELECT CAST({pid} AS BIGINT) AS poly_id, CAST({key} AS BIGINT) AS pt_id "
+            f"FROM {table} WHERE {contains}"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@_register(
+    "pip_polygon_counts",
+    f"""
+    SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM ({_pip_oracle('c_custkey', 'customer')}) GROUP BY poly_id ORDER BY poly_id
+    """,
+)
+def q_pip_polygon_counts(spark, sf_dir):
+    pts = _with_lonlat(_t(spark, sf_dir, "customer"), "c_custkey")
+    return pip_counts(pts, fixture_polyset(), zoom=6).orderBy("poly_id")
+
+
+@_register(
+    "pip_join_rows",
+    f"""
+    SELECT pt_id, poly_id FROM ({_pip_oracle('o_orderkey', 'orders')})
+    WHERE pt_id < 3000 ORDER BY pt_id, poly_id
+    """,
+)
+def q_pip_join_rows(spark, sf_dir):
+    pts = _with_lonlat(
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000), "o_orderkey"
+    )
+    joined = point_in_polygon_join(pts, fixture_polyset(), zoom=6)
+    return (
+        joined.select(F.col("o_orderkey").alias("pt_id"), F.col("poly_id"))
+        .orderBy("pt_id", "poly_id")
+    )
+
+
+# -- 3. kNN join -------------------------------------------------------------
+
+_KNN_ORACLE = f"""
+    WITH q AS (
+      SELECT s_suppkey AS qid,
+             {tiling.mercator_x_sql(sql_oracle.lon_sql('s_suppkey * 7 + 3'))} AS qx,
+             {tiling.mercator_y_sql(sql_oracle.lat_sql('s_suppkey * 7 + 3'))} AS qy
+      FROM supplier),
+    n AS (
+      SELECT c_custkey AS nid,
+             {tiling.mercator_x_sql(sql_oracle.lon_sql('c_custkey'))} AS nx,
+             {tiling.mercator_y_sql(sql_oracle.lat_sql('c_custkey'))} AS ny
+      FROM customer),
+    d AS (
+      SELECT qid, nid, (qx - nx) * (qx - nx) + (qy - ny) * (qy - ny) AS d2
+      FROM q CROSS JOIN n),
+    r AS (
+      SELECT qid, nid, d2,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+      FROM d)
+    SELECT qid, nid, CAST(rank AS INT) AS rank,
+           CAST(FLOOR(sqrt(d2) * 1000.0e0 + 0.5e0) AS BIGINT) AS dist_e3
+    FROM r WHERE rank <= 3 ORDER BY qid, rank
+"""
+
+
+@_register("knn_cell_join", _KNN_ORACLE)
+def q_knn_cell_join(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("qid"),
+        F.expr(tiling.mercator_x_sql(sql_oracle.lon_sql("s_suppkey * 7 + 3"))).alias("x"),
+        F.expr(tiling.mercator_y_sql(sql_oracle.lat_sql("s_suppkey * 7 + 3"))).alias("y"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("nid"),
+        F.expr(tiling.mercator_x_sql(sql_oracle.lon_sql("c_custkey"))).alias("x"),
+        F.expr(tiling.mercator_y_sql(sql_oracle.lat_sql("c_custkey"))).alias("y"),
+    )
+    out = knn_join(sup, cust, k=3, zoom=4, radius=1, max_rounds=5)
+    return out.select(
+        "qid",
+        "nid",
+        F.col("rank").cast("int").alias("rank"),
+        F.floor(F.col("dist") * 1000.0 + F.lit(0.5)).cast("long").alias("dist_e3"),
+    ).orderBy("qid", "rank")
+
+
+# -- 4. OGR SQL semantics ----------------------------------------------------
+
+@_register(
+    "first_match_join",
+    """
+    WITH sec AS (
+      SELECT c_custkey % 100 AS jk, c_custkey, c_name,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey % 100 ORDER BY c_custkey) AS rn
+      FROM customer)
+    SELECT o.o_orderkey, s.c_custkey, s.c_name
+    FROM orders o LEFT JOIN (SELECT * FROM sec WHERE rn = 1) s
+      ON o.o_custkey % 100 = s.jk
+    WHERE o.o_orderkey < 1000 ORDER BY o.o_orderkey
+    """,
+)
+def q_first_match_join(spark, sf_dir):
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .withColumn("jk", F.col("o_custkey") % 100)
+    )
+    cust = _t(spark, sf_dir, "customer").withColumn("sk", F.col("c_custkey") % 100)
+    out = first_match_join(orders, cust, on=("jk", "sk"), secondary_fid="c_custkey")
+    return out.select("o_orderkey", "c_custkey", "c_name").orderBy("o_orderkey")
+
+
+@_register(
+    "summary_agg_lineitem",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+           strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+    FROM lineitem
+    """,
+)
+def q_summary_agg_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_c", F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("long")
+    )
+    return summary_aggregates(
+        li,
+        [
+            ("count", "*", "cnt"),
+            ("count_distinct", "l_returnflag", "n_flags"),
+            ("sum", "qty_c", "sum_qty_c"),
+        ],
+    ).select(
+        "cnt",
+        "n_flags",
+        F.col("sum_qty_c").cast("long").alias("sum_qty_c"),
+    ).crossJoin(
+        li.agg(
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+        )
+    )
+
+
+@_register(
+    "groupby_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS sum_price_c,
+           CAST(SUM(CAST(FLOOR(l_discount * 10000.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS sum_disc_e4
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_groupby_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("long")).alias("sum_qty_c"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")).alias("sum_price_c"),
+            F.sum(F.floor(F.col("l_discount") * 10000.0 + F.lit(0.5)).cast("long")).alias("sum_disc_e4"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "distinct_first_occurrence",
+    """
+    SELECT o_orderpriority, CAST(MIN(o_orderkey) AS BIGINT) AS first_fid
+    FROM orders GROUP BY o_orderpriority ORDER BY first_fid
+    """,
+)
+def q_distinct_first_occurrence(spark, sf_dir):
+    return distinct_list(_t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderkey")
+
+
+@_register(
+    "orderby_limit_offset",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_extendedprice * 100.0e0 + 0.5e0) AS BIGINT) AS price_c
+    FROM lineitem
+    ORDER BY price_c DESC, l_orderkey, l_linenumber
+    LIMIT 50 OFFSET 10
+    """,
+)
+def q_orderby_limit_offset(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "price_c", F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "price_c")
+        .orderBy(F.col("price_c").desc(), "l_orderkey", "l_linenumber")
+        .offset(10)
+        .limit(50)
+    )
+
+
+@_register(
+    "filter_like_between_in",
+    """
+    SELECT p_partkey FROM part
+    WHERE p_name LIKE '%ol%' AND p_size BETWEEN 10 AND 30
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+    ORDER BY p_partkey
+    """,
+)
+def q_filter_like_between_in(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_name").like("%ol%")
+            & F.col("p_size").between(10, 30)
+            & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        )
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    )
+
+
+@_register(
+    "scalar_substr_concat_cast",
+    """
+    SELECT c_custkey,
+           substr(c_name, 1, 8) || '#' || CAST(c_nationkey AS VARCHAR) AS tag
+    FROM customer WHERE c_custkey % 7 = 0 ORDER BY c_custkey
+    """,
+)
+def q_scalar_substr_concat_cast(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.substring("c_name", 1, 8), F.lit("#"), F.col("c_nationkey").cast("string")
+        ).alias("tag"),
+    ).orderBy("c_custkey")
+
+
+@_register(
+    "hstore_props_extract",
+    r"""
+    SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k_val
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+    """,
+)
+def q_hstore_props_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int").alias("k_val"),
+    ).orderBy("event_id")
+
+
+@_register(
+    "window_rank_orders",
+    """
+    SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY FLOOR(o_totalprice * 100.0e0 + 0.5e0) DESC, o_orderkey) AS rn
+      FROM orders WHERE o_custkey < 100)
+    WHERE rn <= 3 ORDER BY o_custkey, rn
+    """,
+)
+def q_window_rank_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rn").cast("int").alias("rn"))
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@_register(
+    "events_hourly_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+    """,
+)
+def q_events_hourly_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")).alias("sum_value_c"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@_register(
+    "union_all_chain",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderpriority FROM orders WHERE o_totalprice > 200000.0e0
+    ) GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_union_all_chain(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    u = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority").unionByName(
+        o.filter(F.col("o_totalprice") > 200000.0).select("o_orderpriority")
+    )
+    return u.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).orderBy(
+        "o_orderpriority"
+    )
+
+
+# -- 5. dedup / text ---------------------------------------------------------
+
+@_register(
+    "dedup_exact",
+    "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+)
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    """
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+      FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.id1, p.id2, CAST(p.common AS BIGINT) AS common,
+           CAST(s1.nsh AS BIGINT) AS n1, CAST(s2.nsh AS BIGINT) AS n2
+    FROM pairs p JOIN sizes s1 ON p.id1 = s1.doc_id JOIN sizes s2 ON p.id2 = s2.doc_id
+    WHERE CAST(p.common AS DOUBLE) / (s1.nsh + s2.nsh - p.common) >= 0.2e0
+    ORDER BY id1, id2
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    return out.select(
+        F.col("id1"),
+        F.col("id2"),
+        F.col("common").cast("long").alias("common"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+    ).orderBy("id1", "id2")
+
+
+@_register("dedup_minhash_lsh")  # rows-only: engine-specific xxhash64 inside
+def q_dedup_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(d, threshold=0.4).orderBy("id1", "id2")
+
+
+@_register("dedup_simhash")  # rows-only: engine-specific xxhash64 inside
+def q_dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sim = dedup.simhash(d)
+    return dedup.simhash_near_pairs(sim, max_hamming=8).orderBy("id1", "id2")
+
+
+@_register(
+    "lang_id_counts",
+    f"""
+    SELECT {analysis.lang_id_sql('text')} AS lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1 ORDER BY lang_guess
+    """,
+)
+def q_lang_id_counts(spark, sf_dir):
+    d = analysis.lang_id(_t(spark, sf_dir, "documents"))
+    return d.groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n")).orderBy("lang_guess")
+
+
+_QM = analysis.quality_metrics_sql("text")
+
+
+@_register(
+    "quality_metrics",
+    f"""
+    SELECT doc_id, {_QM['n_tokens']} AS n_tokens,
+           {_QM['mean_token_len_e3']} AS mean_token_len_e3,
+           {_QM['stop_ratio_e6']} AS stop_ratio_e6,
+           {_QM['n_punct']} AS n_punct
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def q_quality_metrics(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return analysis.quality_metrics(d).select(
+        "doc_id", "n_tokens", "mean_token_len_e3", "stop_ratio_e6", "n_punct"
+    ).orderBy("doc_id")
+
+
+@_register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, CAST({analysis.fingerprint_sql('text')} AS BIGINT) AS fp
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return analysis.fingerprint(d).select("doc_id", "fp").orderBy("doc_id")
+
+
+# -- 6. embedding similarity -------------------------------------------------
+
+@_register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id AS id,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+          generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))), (a, b) -> a + b)
+        /
+        (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(e.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+         * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(q.qv,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS cos
+      FROM embeddings e, q)
+    SELECT id, CAST(FLOOR(cos * 1000000.0e0 + 0.5e0) AS BIGINT) AS cos_e6
+    FROM scored ORDER BY cos_e6 DESC, id ASC LIMIT 10
+    """,
+)
+def q_ann_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = cosine_sim_col(F.col("embedding"), F.col("qv"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.floor(cos * 1_000_000 + F.lit(0.5)).cast("long").alias("cos_e6"),
+        )
+        .orderBy(F.col("cos_e6").desc(), F.col("id").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "ann_knn_cosine_join",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.qid, e.vec_id AS id,
+        CAST(FLOOR(
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+            generate_series(1, len(e.embedding)),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))), (a, b) -> a + b)
+          /
+          (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(e.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+           * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(q.qv,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)))
+          * 1000000.0e0 + 0.5e0) AS BIGINT) AS cos_e6
+      FROM embeddings e CROSS JOIN q),
+    r AS (
+      SELECT qid, id, cos_e6,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, id ASC) AS rank
+      FROM scored)
+    SELECT qid, id, cos_e6, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3 ORDER BY qid, rank
+    """,
+)
+def q_ann_knn_cosine_join(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return knn_cosine_join(q, e, k=3, query_id="vec_id").orderBy("qid", "rank")
+
+
+@_register("ann_lsh_bucketed")  # rows-only: approximate by design
+def q_ann_lsh_bucketed(spark, sf_dir):
+    from gdal_spark.operators.similarity import lsh_bucketed_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "qid")
+    return lsh_bucketed_topk(q, e, k=3, n_planes=10, probe_flips=1).orderBy("qid", "rank")
+
+
+# -- 7. raster ---------------------------------------------------------------
+
+def _synth_meta():
+    from gdal_spark.raster.model import RasterMeta
+
+    return RasterMeta(width=128, height=96, dtype="uint8", block_w=32, block_h=32)
+
+
+def _synth_full_np():
+    from gdal_spark.raster.model import synth_block_np
+
+    meta = _synth_meta()
+    out = np.zeros((meta.height, meta.width), dtype=meta.dtype)
+    for by in range(meta.blocks_y):
+        for bx in range(meta.blocks_x):
+            h, w = meta.block_shape(bx, by)
+            out[
+                by * meta.block_h : by * meta.block_h + h,
+                bx * meta.block_w : bx * meta.block_w + w,
+            ] = synth_block_np(bx, by, h, w, meta)
+    return out, meta
+
+
+@_register("raster_checksum_golden")
+def q_raster_checksum_golden(spark, sf_dir):
+    """byte.tif fixture distributed checksum — golden 4672
+    (autotest/gcore/tiff_read.py:45)."""
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import byte_fixture, tiles_from_array
+
+    arr, meta = byte_fixture()
+    cs = checksum_df(tiles_from_array(spark, arr, meta), meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+_ORACLES["raster_checksum_golden"] = "SELECT CAST(4672 AS BIGINT) AS checksum"
+
+
+@_register("raster_checksum_synth")
+def q_raster_checksum_synth(spark, sf_dir):
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import synth_raster
+
+    meta = _synth_meta()
+    cs = checksum_df(synth_raster(spark, meta), meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_checksum_synth() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+
+    full, _ = _synth_full_np()
+    return f"SELECT CAST({checksum_np(full)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("raster_checksum_synth", _oracle_checksum_synth)
+
+
+def _interp_points():
+    rng = np.random.default_rng(77)
+    meta = _synth_meta()
+    px = np.round(rng.uniform(0.5, meta.width - 0.5, 40), 4)
+    py = np.round(rng.uniform(0.5, meta.height - 0.5, 40), 4)
+    return px, py
+
+
+@_register("raster_interp_bilinear")
+def q_raster_interp_bilinear(spark, sf_dir):
+    from gdal_spark.raster.model import synth_raster
+    from gdal_spark.raster.resample import interpolate_at_points
+
+    meta = _synth_meta()
+    px, py = _interp_points()
+    pts = spark.createDataFrame(
+        list(zip(range(len(px)), px.tolist(), py.tolist())),
+        "pid LONG, px DOUBLE, py DOUBLE",
+    )
+    out = interpolate_at_points(synth_raster(spark, meta), meta, pts, alg="bilinear")
+    return out.select(
+        "pid", F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("val_e6")
+    ).orderBy("pid")
+
+
+def _oracle_interp_bilinear() -> str:
+    from gdal_spark.raster.resample import interpolate_at_point_np
+
+    full, _ = _synth_full_np()
+    px, py = _interp_points()
+    vals, valid = interpolate_at_point_np(full, px, py, "bilinear")
+    rows = ", ".join(
+        f"({i}, {int(np.floor(vals[i] * 1_000_000 + 0.5))})"
+        for i in range(len(px))
+        if valid[i]
+    )
+    return f"SELECT CAST(pid AS BIGINT) AS pid, CAST(val_e6 AS BIGINT) AS val_e6 FROM (VALUES {rows}) t(pid, val_e6) ORDER BY pid"
+
+
+_lazy_oracle("raster_interp_bilinear", _oracle_interp_bilinear)
+
+
+@_register("raster_overview_checksum")
+def q_raster_overview_checksum(spark, sf_dir):
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import synth_raster
+    from gdal_spark.raster.resample import downsample2
+
+    meta = _synth_meta()
+    lvl1, m1 = downsample2(synth_raster(spark, meta), meta, alg="average")
+    cs = checksum_df(lvl1, m1)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_overview_checksum() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.resample import downsample2_np
+
+    full, _ = _synth_full_np()
+    return f"SELECT CAST({checksum_np(downsample2_np(full, 'average'))} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("raster_overview_checksum", _oracle_overview_checksum)
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = dict(_ORACLES)
+    for name, builder in _LAZY_ORACLES.items():
+        out[name] = builder()
+    return out

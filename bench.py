@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Headline benchmark: spatial-join + tile-assignment throughput (rows/sec)
+plus per-query timings over $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric mirrors BASELINE.json: rows/sec of the flagship
+pipeline (synth pages → geotag extract → tile assign → PIP join → counts),
+reported alongside the per-query wall times the driver tracks. Scaling
+efficiency between two parallelism levels is measured by scripts/
+bench_scaling.py (same job at local[8] vs local[32]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def flagship_rows_sec(spark, n_pages: int) -> tuple[float, float]:
+    """Synth pages → geotag → tile assign → PIP join → counts; returns
+    (rows/sec, elapsed)."""
+    from gdal_spark.fixtures import fixture_polyset
+    from gdal_spark.operators.spatial_join import assign_tiles, pip_counts
+    from gdal_spark.pages import extract_geotags, synth_pages
+
+    ps = fixture_polyset()
+    t0 = time.time()
+    pages = synth_pages(spark, n_pages)
+    pts = extract_geotags(pages)
+    tiled = assign_tiles(pts, zoom=12)
+    counts = pip_counts(tiled, ps, zoom=6)
+    n_out = counts.agg(F.sum("n_points")).collect()[0][0]
+    el = time.time() - t0
+    assert n_out and n_out > 0
+    return n_pages / el, el
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from gdal_spark.session import get_spark
+
+    spark = get_spark(
+        "gdal_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    # warm the JVM/Arrow paths once
+    spark.range(1000).agg(F.sum("id")).collect()
+
+    qtimes = {}
+    bench_queries = [
+        "tile_assign_z8",
+        "pip_polygon_counts",
+        "pip_join_rows",
+        "knn_cell_join",
+        "groupby_pricing_summary",
+        "window_rank_orders",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "ann_knn_cosine_join",
+        "lang_id_counts",
+        "doc_fingerprint",
+        "raster_checksum_synth",
+        "raster_overview_checksum",
+    ]
+    qs = entrymod.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    rps, el = flagship_rows_sec(spark, n_pages)
+    qtimes["flagship_pages_pip"] = round(el, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "flagship spatial-join+tile-assign throughput",
+                "value": round(rps, 1),
+                "unit": "rows/sec",
+                "elapsed_sec": round(el, 3),
+                "pages": n_pages,
+                "queries": qtimes,
+                "sf": sf,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -94,7 +94,11 @@ def knn_join(
             "__qcy",
         )
         cand = expanded.join(nb, on=["__ncx", "__ncy"], how="inner")
-        d2 = (F.col("__qx") - F.col("__nx")) ** 2 + (F.col("__qy") - F.col("__ny")) ** 2
+        # explicit multiply (not pow): bit-identical to the SQL oracle's
+        # (qx-nx)*(qx-nx) form in every engine
+        dx_ = F.col("__qx") - F.col("__nx")
+        dy_ = F.col("__qy") - F.col("__ny")
+        d2 = dx_ * dx_ + dy_ * dy_
         w = Window.partitionBy("__qid").orderBy(F.col("__d2").asc(), F.col("__nid").asc())
         topk = (
             cand.withColumn("__d2", d2)
@@ -149,7 +153,9 @@ def knn_join_bruteforce(
     nb = neighbors.select(
         F.col(neighbor_id).alias("__nid"), F.col(neighbor_x).alias("__nx"), F.col(neighbor_y).alias("__ny")
     )
-    d2 = (F.col("__qx") - F.col("__nx")) ** 2 + (F.col("__qy") - F.col("__ny")) ** 2
+    dx_ = F.col("__qx") - F.col("__nx")
+    dy_ = F.col("__qy") - F.col("__ny")
+    d2 = dx_ * dx_ + dy_ * dy_
     w = Window.partitionBy("__qid").orderBy(F.col("__d2").asc(), F.col("__nid").asc())
     return (
         q.crossJoin(F.broadcast(nb))

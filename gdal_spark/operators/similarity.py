@@ -1,0 +1,187 @@
+"""Embedding similarity search: brute-force cosine top-k (exact baseline)
+and an LSH-bucketed approximate variant (the scale path).
+
+Dot products/norms are evaluated as sequential JVM ``aggregate`` lambdas
+over the array column with explicit element-wise DOUBLE casts — both so no
+Python touches the row stream and so the identical left-to-right summation
+can be re-emitted for the DuckDB oracle (bit-equal results).
+
+Scale notes: brute-force is O(N) per query but embarrassingly parallel
+and shuffle-free (broadcast query, map-side top-k via
+TakeOrderedAndProject). The LSH variant buckets by random-hyperplane
+signs so each query only scans its bucket ∪ neighboring buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0).cast("double"), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_sim_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact top-k by cosine to one query vector.
+
+    Output (id, cos_e6) where cos_e6 = floor(cos * 1e6 + 0.5); ordering is
+    (cos_e6 DESC, id ASC) — integer, deterministic, oracle-safe. Physical
+    plan is TakeOrderedAndProject: per-partition heaps, no full sort.
+    """
+    qv = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
+    cos = cosine_sim_col(F.col(vec_col), qv)
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.floor(cos * scale + F.lit(0.5)).cast("long").alias("cos_e6"),
+    )
+    return out.orderBy(F.col("cos_e6").desc(), F.col("id").asc()).limit(k)
+
+
+def cosine_topk_sql(
+    query_vec, k: int, table: str = "embeddings", id_col: str = "vec_id",
+    vec_col: str = "embedding", scale: int = 1_000_000,
+) -> str:
+    """DuckDB oracle with the identical sequential double arithmetic."""
+    from gdal_spark.tiling import dlit
+
+    import math
+
+    qlist = ", ".join(dlit(float(v)) for v in query_vec)
+    dot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform("
+        f"generate_series(1, len({vec_col})), i -> "
+        f"CAST({vec_col}[i] AS DOUBLE) * ([{qlist}])[i])), (a, b) -> a + b)"
+    )
+    nrm = (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform({vec_col}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))"
+    )
+    # sequential (left-to-right) sum to bit-match Spark's aggregate fold
+    s = 0.0
+    for v in query_vec:
+        s += float(v) * float(v)
+    qn = math.sqrt(s)
+    return (
+        f"SELECT {id_col} AS id, "
+        f"CAST(FLOOR({dot} / ({nrm} * {dlit(qn)}) * {scale} + 0.5) AS BIGINT) AS cos_e6 "
+        f"FROM {table} ORDER BY cos_e6 DESC, id ASC LIMIT {k}"
+    )
+
+
+def knn_cosine_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine kNN: broadcast queries × corpus + window
+    prune. Output (qid, id, cos_e6, rank). Queries side must be small
+    (it's broadcast); corpus side streams."""
+    q = queries.select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(corpus_id).alias("id"), F.col(vec_col).alias("cv"))
+    cos = cosine_sim_col(F.col("cv"), F.col("qv"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), F.col("id").asc())
+    return (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cos_e6", F.floor(cos * 1_000_000 + F.lit(0.5)).cast("long"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "cos_e6", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate variant
+# ---------------------------------------------------------------------------
+
+def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _sign_bucket(vec_col: Column, planes: np.ndarray) -> Column:
+    """Pack sign(v·plane_j) bits into one BIGINT bucket id (column math)."""
+    acc = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        qv = F.array(*[F.lit(float(x)).cast("double") for x in p])
+        acc = acc + F.when(_dot(vec_col, qv) > 0, F.lit(1 << j).cast("long")).otherwise(0)
+    return acc
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    probe_flips: int = 1,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate kNN: random-hyperplane buckets + multiprobe.
+
+    Corpus rows hash to one bucket; each query probes its bucket plus all
+    buckets at Hamming distance ≤ probe_flips (multiprobe LSH). The join
+    is an equi-join on bucket id, so the per-query work is the bucket
+    occupancy, not the corpus size. Recall grows with probe_flips.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = corpus.select(F.col(corpus_id).alias("id"), F.col(vec_col).alias("cv")).withColumn(
+        "bucket", _sign_bucket(F.col("cv"), planes)
+    )
+    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")).withColumn(
+        "bucket0", _sign_bucket(F.col("qv"), planes)
+    )
+    # multiprobe: bucket0 xor each subset of ≤ probe_flips bits
+    probes = [0]
+    if probe_flips >= 1:
+        probes += [1 << j for j in range(n_planes)]
+    if probe_flips >= 2:
+        probes += [
+            (1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    probe_arr = F.array(*[F.lit(p).cast("long") for p in probes])
+    qp = q.select(
+        "qid", "qv", F.explode(F.transform(probe_arr, lambda m: F.col("bucket0").bitwiseXOR(m))).alias("bucket")
+    )
+    cos = cosine_sim_col(F.col("cv"), F.col("qv"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), F.col("id").asc())
+    return (
+        qp.join(c, "bucket")
+        .withColumn("cos_e6", F.floor(cos * 1_000_000 + F.lit(0.5)).cast("long"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "cos_e6", "rank")
+    )

@@ -1,0 +1,295 @@
+"""Deduplication operators for web-scale text corpora.
+
+The training-data-pipeline companion to the spatial engine: exact dedup,
+n-gram Jaccard pairs, MinHash+LSH candidate generation, SimHash. All hot
+paths are JVM column expressions (split/explode/xxhash64/groupBy) or
+Arrow-vectorized pandas UDFs — no per-row Python.
+
+Scale design:
+- exact dedup groups by ``xxhash64(text)`` (8-byte shuffle key) rather
+  than by the full text bytes; the full text only travels for hash groups
+  with >1 member (collision audit), which at 1e12 rows is ~0 rows.
+- shingling explodes to (doc, shingle-hash) pairs — the Jaccard self-join
+  joins on the 8-byte hash, never on strings; frequency-capped shingles
+  (stop-shingles appearing in > ``max_df`` docs) are dropped before the
+  join, which is what keeps the candidate-pair blowup subquadratic.
+- MinHash signatures are built from one xxhash64 pass + K affine
+  permutations evaluated as column math; LSH bands re-hash signature
+  slices so the bucket join is an equi-join Catalyst can shuffle-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def words_col(text_col: str = "text"):
+    """Whitespace tokenization — shared by all dedup ops."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per distinct text.
+
+    Groups on ``xxhash64(text)`` so the shuffle key is 8 bytes; exactness
+    is preserved by a secondary group on the text itself *within* each
+    hash group (a no-op unless xxhash collides).
+    """
+    return (
+        df.select(F.col(id_col), F.col(text_col), F.xxhash64(text_col).alias("__h"))
+        .groupBy("__h", text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle STRING).
+
+    Pure column math: split → sequence → transform(slice) → explode.
+    """
+    w = words_col(text_col)
+    # sequence(1, 0) DESCENDS in Spark — docs shorter than n words must
+    # yield an empty shingle array explicitly
+    sh = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All doc pairs (id1 < id2) with shingle-set Jaccard ≥ threshold.
+
+    Output: (id1, id2, common, n1, n2) — Jaccard = common/(n1+n2-common),
+    emitted as exact integers so oracles compare without float hashing.
+    ``max_df`` drops shingles present in more than that many docs before
+    the self-join (the subquadratic lever at corpus scale).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    # join on the 8-byte hash of the shingle, not the string
+    sh = sh.select("id", F.xxhash64("shingle").alias("sh")).distinct()
+    if max_df is not None:
+        df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(
+            F.broadcast(df_counts.filter(F.col("__df") <= max_df).select("sh")),
+            "sh",
+            "inner",
+        )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh.select(F.col("id").alias("id1"), "sh")
+    b = sh.select(F.col("id").alias("id2"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("nsh", "n1"), "id1")
+        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("nsh", "n2"), "id2")
+        .filter(
+            F.col("common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("common"))
+            >= F.lit(threshold)
+        )
+    )
+    return out.select("id1", "id2", "common", "n1", "n2")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _perm_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic affine permutation coefficients (a odd, b) mod 2^61-1."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P - 1) | 1, rng.randrange(0, MERSENNE_P - 1))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>) MinHash signatures over word n-gram shingles.
+
+    One xxhash64 per shingle, then ``num_hashes`` affine permutations
+    ``(a*h + b) mod (2^61-1)`` minimized per doc — all column math; the
+    aggregation is a single groupBy with ``min`` partials map-side.
+    """
+    sh = shingles(df, id_col, text_col, n).select(
+        "id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("h")
+    )
+    coeffs = _perm_coeffs(num_hashes, seed)
+    # (a*h+b) mod p in 128-bit-safe pieces: h < 2^61, a < 2^61 → a*h overflows
+    # int64, so reduce via double-width split: a*h mod p computed with
+    # Spark's decimal? Simpler: (a mod p)*(h mod p) splits into hi/lo words.
+    # h fits 61 bits; split h = h1*2^31 + h0 to keep products under 2^63.
+    h1 = (F.col("h") / F.lit(1 << 31)).cast("long")
+    h0 = F.col("h") % F.lit(1 << 31)
+    mins = []
+    for i, (a, b) in enumerate(coeffs):
+        a_lo = a % (1 << 31)
+        a_hi = a >> 31
+        # a*h mod p via four partial products, each < 2^62, folded mod p.
+        # 2^31 mod p and 2^62 mod p are precomputed constants.
+        c31 = (1 << 31) % MERSENNE_P
+        c62 = (1 << 62) % MERSENNE_P
+        t0 = (F.lit(a_lo) * h0) % F.lit(MERSENNE_P)
+        t1 = ((F.lit(a_lo) * h1) % F.lit(MERSENNE_P)) * F.lit(c31) % F.lit(MERSENNE_P)
+        t2 = ((F.lit(a_hi) * h0) % F.lit(MERSENNE_P)) * F.lit(c31) % F.lit(MERSENNE_P)
+        t3 = ((F.lit(a_hi) * h1) % F.lit(MERSENNE_P)) * F.lit(c62) % F.lit(MERSENNE_P)
+        val = (t0 + t1 + t2 + t3 + F.lit(b)) % F.lit(MERSENNE_P)
+        mins.append(F.min(val).alias(f"m{i}"))
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs agreeing on any full band become candidate pairs.
+
+    Buckets are ``(band_idx, xxhash64(band slice))`` — an equi-join key, so
+    candidate generation is a shuffle-hash self-join per band with no
+    quadratic blowup outside buckets. Output: distinct (id1 < id2).
+    """
+    b = signatures.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"named_struct('band', b, 'key', xxhash64(b, "
+                f"concat_ws(',', slice(sig, b * {rows_per_band} + 1, {rows_per_band})))))"
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    l = b.select(F.col("id").alias("id1"), "band", "key")
+    r = b.select(F.col("id").alias("id2"), "band", "key")
+    return (
+        l.join(r, ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end near-dup pairs: MinHash → LSH buckets → signature-estimate
+    filter. Output (id1, id2, est_e6) with est = fraction of agreeing
+    minhashes, scaled to integer millionths."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    s1 = sigs.select(F.col("id").alias("id1"), F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("id").alias("id2"), F.col("sig").alias("sig2"))
+    est = (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "est_e6",
+            F.floor(
+                F.size(F.filter(F.zip_with("sig1", "sig2", lambda a, b: a == b), lambda x: x))
+                * F.lit(1_000_000)
+                / F.lit(num_hashes)
+            ).cast("long"),
+        )
+        .filter(F.col("est_e6") >= F.lit(int(threshold * 1_000_000)))
+    )
+    return est.select("id1", "id2", "est_e6")
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash BIGINT): sign-sum of per-word 64-bit hashes.
+
+    Explode words → per-(doc, bit) sign sums via bit tests on the JVM-side
+    xxhash64 — no Python. The per-doc reduction folds 64 bit-counters with
+    map-side partial aggregation.
+    """
+    w = (
+        df.select(F.col(id_col).alias("id"), F.explode(words_col(text_col)).alias("w"))
+        .withColumn("h", F.xxhash64("w"))
+    )
+    # sum(+1/-1) per bit, then reassemble the sign bit vector
+    sums = w.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        # shiftleft instead of a literal: 1<<63 overflows a Java long literal
+        bit = F.shiftleft(F.lit(1).cast("long"), i)
+        acc = acc + F.when(F.col(f"b{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
+    return sums.select("id", acc.alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """Candidate near-dup pairs by simhash: block on 4 rotated prefixes
+    (any pair within hamming ≤ max_hamming agrees on ≥1 of 4 16-bit
+    quarters), verify exact hamming via bit_count(xor)."""
+    parts = []
+    for q in range(4):
+        key = F.shiftrightunsigned(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF))
+        parts.append(sim.select("id", F.col("simhash"), F.lit(q).alias("q"), key.alias("key")))
+    blocks = parts[0]
+    for p in parts[1:]:
+        blocks = blocks.unionByName(p)
+    l = blocks.select(F.col("id").alias("id1"), F.col("simhash").alias("h1"), "q", "key")
+    r = blocks.select(F.col("id").alias("id2"), F.col("simhash").alias("h2"), "q", "key")
+    return (
+        l.join(r, ["q", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+        .distinct()
+    )

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north rule: run the identical
+flagship job at two parallelism levels (default local[8] vs local[32] —
+the sandbox stand-in for N vs 4N executors) and report throughput at both
+plus efficiency = (T_N / T_4N) / 4.
+
+Each level runs in a *fresh* JVM (subprocess) so executor-thread count is
+actually different and JIT/cache state doesn't leak between runs.
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from gdal_spark.session import get_spark
+from pyspark.sql import functions as F
+from bench import flagship_rows_sec
+
+cpus = int(sys.argv[1])
+n_pages = int(sys.argv[2])
+spark = get_spark("scaling_%d" % cpus, master="local[%d]" % cpus,
+                  shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+# warm up JIT + Arrow once, then measure
+flagship_rows_sec(spark, max(n_pages // 10, 10000))
+rps, el = flagship_rows_sec(spark, n_pages)
+print(json.dumps({{"cpus": cpus, "rows_sec": rps, "elapsed": el}}))
+"""
+
+
+def run_level(cpus: int, n_pages: int, repo: str) -> dict:
+    code = WORKER.format(repo=repo)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), str(n_pages)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "4000000"))
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+    hi = int(os.environ.get("SPARK_GRAFT_SCALE_4N", "32"))
+    r_lo = run_level(lo, n_pages, repo)
+    r_hi = run_level(hi, n_pages, repo)
+    eff = (r_lo["elapsed"] / r_hi["elapsed"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency N->4N (local threads)",
+                "n_pages": n_pages,
+                f"rows_sec@{lo}": round(r_lo["rows_sec"], 1),
+                f"rows_sec@{hi}": round(r_hi["rows_sec"], 1),
+                "efficiency": round(eff, 3),
+                "target": 0.8,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

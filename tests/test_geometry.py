@@ -1,0 +1,142 @@
+"""Geometry kernels + WKB vs the reference fixture goldens.
+
+- ray-cast semantics: ogr/ogrlinearring.cpp:462-531
+- OGR_GEOM_AREA: shoelace minus holes, vs poly.dbf AREA values
+- spatial-filter golden: first-feature envelope selects exactly 1 of 10
+  (autotest/ogr/ogr_basic_test.py:112-131)
+"""
+import numpy as np
+import pytest
+
+from fixtures_poly import POLY_ATTRS, poly_rings
+from gdal_spark.geometry import kernels, wkb
+from gdal_spark.geometry.index import PolygonSet
+
+
+def test_ring_area_matches_dbf_goldens():
+    rings = poly_rings()
+    for p, (area, _, _) in zip(rings, POLY_ATTRS):
+        got = kernels.polygon_area(p)
+        assert got == pytest.approx(abs(area), abs=0.05)
+
+
+def test_point_in_ring_square():
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    px = np.array([5.0, 15.0, -1.0, 5.0])
+    py = np.array([5.0, 5.0, 5.0, 15.0])
+    got = kernels.points_in_ring_np(px, py, sq)
+    assert list(got) == [True, False, False, False]
+
+
+def test_point_in_polygon_with_hole():
+    ext = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], dtype=float)
+    px = np.array([5.0, 2.0])
+    py = np.array([5.0, 2.0])
+    got = kernels.points_in_polygon_np(px, py, [ext, hole])
+    assert list(got) == [False, True]
+
+
+def test_centroids_inside_own_polygon_only_mostly():
+    """Each fixture polygon's representative point is inside it."""
+    rings = poly_rings()
+    for p in rings:
+        ext = p[0]
+        cx, cy = ext[:-1, 0].mean(), ext[:-1, 1].mean()
+        # vertex-mean may fall outside concave polys; then skip
+        inside = kernels.points_in_polygon_np([cx], [cy], p)[0]
+        if inside:
+            for q in rings:
+                if q is p:
+                    continue
+                assert not kernels.points_in_polygon_np([cx], [cy], q)[0]
+
+
+def _poly_intersects_rect(rings, minx, miny, maxx, maxy) -> bool:
+    """Exact polygon-rect intersects: any edge crosses the rect, any vertex
+    inside it, or a rect corner inside the polygon."""
+    for r in rings:
+        ax, ay, bx, by = r[:-1, 0], r[:-1, 1], r[1:, 0], r[1:, 1]
+        if kernels.segments_intersect_rect_np(ax, ay, bx, by, minx, miny, maxx, maxy).any():
+            return True
+    cx = np.array([minx, maxx, maxx, minx])
+    cy = np.array([miny, miny, maxy, maxy])
+    return bool(kernels.points_in_polygon_np(cx, cy, rings).any())
+
+
+def test_spatial_filter_golden_one_of_ten():
+    """ogr_basic_test.py:90-131 golden: rect (479405,4762826,480732,4763590)
+    intersects exactly 1 of the 10 poly.shp features."""
+    rings = poly_rings()
+    hits = sum(
+        1 for p in rings if _poly_intersects_rect(p, 479405, 4762826, 480732, 4763590)
+    )
+    assert hits == 1
+
+
+def test_wkb_point_roundtrip():
+    b = wkb.point_wkb(1.5, -2.25)
+    name, (x, y) = wkb.parse_wkb(b)
+    assert name == "Point" and x == 1.5 and y == -2.25
+    xs, ys = wkb.parse_point_wkb_np(wkb.points_wkb_np([1.0, 2.0], [3.0, 4.0]))
+    assert list(xs) == [1.0, 2.0] and list(ys) == [3.0, 4.0]
+
+
+def test_wkb_polygon_roundtrip():
+    ext = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], dtype=float)
+    hole = np.array([[1, 1], [2, 1], [2, 2], [1, 2]], dtype=float)
+    b = wkb.polygon_wkb(ext, [hole])
+    name, rings = wkb.parse_wkb(b)
+    assert name == "Polygon" and len(rings) == 2
+    assert len(rings[0]) == 5  # auto-closed
+    assert np.allclose(rings[0][:4], ext)
+
+
+def test_wkb_big_endian_parse():
+    import struct
+    b = struct.pack(">BIdd", 0, 1, 7.0, 8.0)
+    name, (x, y) = wkb.parse_wkb(b)
+    assert name == "Point" and x == 7.0 and y == 8.0
+
+
+def test_polygonset_contains_matches_kernels():
+    rings = poly_rings()
+    ids = [a[1] for a in POLY_ATTRS]
+    ps = PolygonSet.from_coords(ids, rings)
+    rng = np.random.default_rng(11)
+    allc = np.vstack([np.vstack(p) for p in rings])
+    px = rng.uniform(allc[:, 0].min(), allc[:, 0].max(), 2000)
+    py = rng.uniform(allc[:, 1].min(), allc[:, 1].max(), 2000)
+    for i in range(len(ps)):
+        idx = np.full(len(px), i, dtype=np.int64)
+        got = ps.contains(px, py, idx)
+        want = kernels.points_in_polygon_np(px, py, rings[i])
+        assert (got == want).all(), i
+
+
+def test_polygonset_tile_cover_consistency():
+    """cover ⊇ contains: every contained point's tile is in the cover, and
+    full tiles contain only inside points."""
+    from gdal_spark import tiling
+
+    # synthetic lon/lat triangle converted to mercator
+    tri = np.array([[5.0, 5.0], [20.0, 8.0], [10.0, 25.0], [5.0, 5.0]])
+    mx, my = tiling.lonlat_to_mercator_np(tri[:, 0], tri[:, 1])
+    merc = np.column_stack([mx, my])
+    ps = PolygonSet.from_coords([1], [[merc]])
+    z = 7
+    pidx, tx, ty, full = ps.tile_cover(z)
+    cover = set(zip(tx.tolist(), ty.tolist()))
+    fullset = {(x, y) for x, y, f in zip(tx.tolist(), ty.tolist(), full.tolist()) if f}
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(3, 27, 4000)
+    lat = rng.uniform(3, 27, 4000)
+    qx, qy = tiling.lonlat_to_mercator_np(lon, lat)
+    inside = kernels.points_in_polygon_np(qx, qy, [merc])
+    ptx, pty = tiling.tile_indices_np(qx, qy, z)
+    for i in range(len(lon)):
+        t = (int(ptx[i]), int(pty[i]))
+        if inside[i]:
+            assert t in cover
+        if t in fullset:
+            assert inside[i]

@@ -1,0 +1,119 @@
+"""Dedup + text-analysis operators vs Python oracles."""
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.text import analysis, dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a completely different document about spark query engines and shuffles",
+        "the quick brown fox jumps over the lazy dog near the river bend",  # near-dup of 0
+        "short text",
+        "the quick brown fox jumps over the lazy dog near the river bank",  # exact dup of 0
+        "tokens and more tokens in a web crawl page of text data and words",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(base)), "text": base})
+    return spark.createDataFrame(pdf), base
+
+
+def _py_shingles(text, n=3):
+    w = text.split()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def test_exact_dedup(spark, docs):
+    df, base = docs
+    kept = sorted(r.doc_id for r in dedup.exact_dedup(df).collect())
+    assert kept == [0, 1, 2, 3, 5]  # 4 is an exact dup of 0
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    df, base = docs
+    got = {
+        (r.id1, r.id2): (r.common, r.n1, r.n2)
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    # python oracle
+    want = {}
+    for i in range(len(base)):
+        for j in range(i + 1, len(base)):
+            a, b = _py_shingles(base[i]), _py_shingles(base[j])
+            c = len(a & b)
+            if c and c / (len(a) + len(b) - c) >= 0.3:
+                want[(i, j)] = (c, len(a), len(b))
+    assert got == want
+    assert (0, 4) in got and (0, 2) in got  # exact dup + near dup found
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    df, base = docs
+    sigs = {r.id: list(r.sig) for r in dedup.minhash_signatures(df, num_hashes=128).collect()}
+    # exact dup → identical signature
+    assert sigs[0] == sigs[4]
+    # near dup: estimate within 0.25 of true jaccard
+    a, b = _py_shingles(base[0]), _py_shingles(base[2])
+    true_j = len(a & b) / len(a | b)
+    est = sum(x == y for x, y in zip(sigs[0], sigs[2])) / 128
+    assert abs(est - true_j) < 0.25
+    # unrelated docs → low estimate
+    est2 = sum(x == y for x, y in zip(sigs[0], sigs[1])) / 128
+    assert est2 < 0.2
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    df, _ = docs
+    pairs = {(r.id1, r.id2) for r in dedup.minhash_dedup_pairs(df, threshold=0.4).collect()}
+    assert (0, 4) in pairs  # exact dup always survives
+    assert (0, 2) in pairs  # near-dup (high jaccard) found via banding
+    assert (0, 1) not in pairs
+
+
+def test_simhash_identical_and_near(spark, docs):
+    df, _ = docs
+    sim = {r.id: r.simhash for r in dedup.simhash(df).collect()}
+    assert sim[0] == sim[4]
+    ham_near = bin((sim[0] ^ sim[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((sim[0] ^ sim[1]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far
+    pairs = {(r.id1, r.id2): r.hamming for r in dedup.simhash_near_pairs(
+        spark.createDataFrame(pd.DataFrame({"id": list(sim), "simhash": [np.int64(v) for v in sim.values()]})),
+        max_hamming=12,
+    ).collect()}
+    assert (0, 4) in pairs and pairs[(0, 4)] == 0
+
+
+def test_lang_id(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat and the dog of the house is in a box",
+                "der hund und die katze ist nicht ein problem",
+                "le chat et les chiens est une affaire des gens",
+                "xyzzy qwerty plugh",
+            ],
+        }
+    )
+    got = {r.doc_id: r.lang_guess for r in analysis.lang_id(spark.createDataFrame(pdf)).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "und"}
+
+
+def test_quality_metrics_and_fingerprint(spark):
+    text = "the quick brown fox, it jumps!"
+    pdf = pd.DataFrame({"doc_id": [0], "text": [text]})
+    df = spark.createDataFrame(pdf)
+    r = analysis.quality_metrics(df).collect()[0]
+    words = text.split()
+    assert r.n_tokens == len(words)
+    assert r.mean_token_len_e3 == int(1000 * sum(len(w) for w in words) / len(words))
+    assert r.n_punct == 2
+    fp = analysis.fingerprint(df).collect()[0].fp
+    acc = 0
+    for w in words:
+        acc = (acc * analysis.FP_MULT + len(w) * 31 + ord(w[0])) % analysis.FP_MOD
+    assert fp == acc
