@@ -1,0 +1,180 @@
+"""DEM, rasterize, polygonize/sieve, warp, grid — distributed vs NumPy
+oracles (which themselves encode the reference formulas)."""
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.geometry import wkt
+from gdal_spark.raster import dem, grid, polygonize, rasterize, warp
+from gdal_spark.raster.model import RasterMeta, synth_raster, tiles_from_array, tiles_to_array
+
+
+@pytest.fixture(scope="module")
+def terrain(spark):
+    meta = RasterMeta(
+        width=60, height=40, dtype="float32", block_w=20, block_h=20,
+        gt=(1000.0, 10.0, 0.0, 5000.0, 0.0, -10.0),
+    )
+    tiles = synth_raster(spark, meta).persist()
+    full = tiles_to_array(tiles, meta)
+    return tiles, full, meta
+
+
+@pytest.mark.parametrize("op", ["hillshade", "slope", "aspect", "tri", "tri_wilson", "tpi", "roughness"])
+def test_dem_ops_match_oracle(spark, terrain, op):
+    tiles, full, meta = terrain
+    got = tiles_to_array(
+        dem.dem_op(tiles, meta, op), RasterMeta(
+            width=meta.width, height=meta.height, dtype="float64",
+            block_w=meta.block_w, block_h=meta.block_h, gt=meta.gt,
+        ),
+    )
+    want = dem.dem_op_np(full, meta, op)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_hillshade_flat_is_sin_alt(spark):
+    """Flat terrain → cang = sin(alt); value = 1 + 254*sin(45°)."""
+    meta = RasterMeta(width=8, height=8, dtype="float32", block_w=8, block_h=8)
+    flat = np.zeros((8, 8), dtype=np.float32)
+    out = dem.dem_op_np(flat, meta, "hillshade")
+    assert out[4, 4] == pytest.approx(1.0 + 254.0 * np.sin(np.radians(45.0)))
+
+
+def test_rasterize_square_pixel_center(spark):
+    """10×10 grid, square (2,2)-(6,6) in geo == pixel coords (identity
+    GT): pixel-center rule burns rows/cols 2..5 (16 pixels)."""
+    meta = RasterMeta(width=10, height=10, dtype="uint8", block_w=5, block_h=5,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    feats = spark.createDataFrame(
+        [(bytearray(wkt.wkt_to_wkb("POLYGON ((2 2,6 2,6 6,2 6,2 2))")), 7.0)],
+        "geometry BINARY, burn DOUBLE",
+    )
+    out_meta = RasterMeta(width=10, height=10, dtype="float64", block_w=5, block_h=5, gt=meta.gt)
+    got = tiles_to_array(rasterize.rasterize(feats, meta), out_meta)
+    want = np.zeros((10, 10))
+    want[2:6, 2:6] = 7.0
+    assert (got == want).all()
+
+
+def test_rasterize_matches_numpy_oracle(spark):
+    meta = RasterMeta(width=32, height=24, dtype="uint8", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    out_meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12, gt=meta.gt)
+    polys = [
+        "POLYGON ((1.2 1.7,14.8 2.3,10.1 11.4,2.5 9.9,1.2 1.7))",
+        "POLYGON ((8 5,27 4,29 20,12 22,8 5))",
+        "POLYGON ((20 2,30 2,30 8,20 8,20 2))",
+    ]
+    feats = spark.createDataFrame(
+        [(i, bytearray(wkt.wkt_to_wkb(p)), float(i + 1)) for i, p in enumerate(polys)],
+        "fid INT, geometry BINARY, burn DOUBLE",
+    )
+    for merge in ("REPLACE", "ADD"):
+        got = tiles_to_array(
+            rasterize.rasterize(feats, meta, fid_col="fid", merge_alg=merge), out_meta
+        )
+        rings_list = [[np.asarray(wkt.parse_wkt(p)[1][0])] for p in polys]
+        want = rasterize.rasterize_np(
+            rings_list, [1.0, 2.0, 3.0], meta, merge_add=(merge == "ADD")
+        )
+        assert (got == want).all(), merge
+
+
+def test_rasterize_all_touched(spark):
+    meta = RasterMeta(width=12, height=12, dtype="uint8", block_w=6, block_h=6,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    out_meta = RasterMeta(width=12, height=12, dtype="float64", block_w=6, block_h=6, gt=meta.gt)
+    p = "POLYGON ((1.5 1.5,10.5 2.5,6.5 9.5,1.5 1.5))"
+    feats = spark.createDataFrame(
+        [(bytearray(wkt.wkt_to_wkb(p)), 1.0)], "geometry BINARY, burn DOUBLE"
+    )
+    got = tiles_to_array(rasterize.rasterize(feats, meta, all_touched=True), out_meta)
+    rings = [[np.asarray(wkt.parse_wkt(p)[1][0])]]
+    want = rasterize.rasterize_np(rings, [1.0], meta, all_touched=True)
+    assert (got == want).all()
+    # all_touched is a superset of the default fill
+    base = rasterize.rasterize_np(rings, [1.0], meta)
+    assert ((want >= base)).all() and want.sum() > base.sum()
+
+
+def test_polygonize_regions(spark):
+    meta = RasterMeta(width=16, height=12, dtype="uint8", block_w=8, block_h=6)
+    arr = np.zeros((12, 16), dtype=np.uint8)
+    arr[2:10, 2:7] = 1       # crosses the vertical block boundary? no (2..6)
+    arr[3:9, 9:15] = 2       # crosses blocks horizontally
+    arr[0:2, 14:16] = 1      # separate region, same value
+    tiles = tiles_from_array(spark, arr, meta)
+    regions = polygonize.polygonize_regions(tiles, meta).collect()
+    got = sorted(
+        (float(r.value), int(r.n_pixels), r.min_x, r.min_y, r.max_x, r.max_y)
+        for r in regions
+    )
+    want = polygonize.polygonize_np(arr)
+    assert got == want
+    # exactly 4 regions: background + three
+    assert len(got) == 4
+
+
+def test_polygonize_8connected(spark):
+    meta = RasterMeta(width=8, height=8, dtype="uint8", block_w=8, block_h=8)
+    arr = np.zeros((8, 8), dtype=np.uint8)
+    arr[1, 1] = 1
+    arr[2, 2] = 1  # diagonal touch
+    tiles = tiles_from_array(spark, arr, meta)
+    r4 = polygonize.polygonize_regions(tiles, meta, connect8=False).collect()
+    r8 = polygonize.polygonize_regions(tiles, meta, connect8=True).collect()
+    assert len(r4) == 3  # bg + two single-pixel regions
+    assert len(r8) == 2  # bg + one diagonal-joined region
+
+
+def test_sieve_relabels_small_regions(spark):
+    meta = RasterMeta(width=10, height=10, dtype="uint8", block_w=10, block_h=10)
+    arr = np.zeros((10, 10), dtype=np.uint8)
+    arr[4:6, 4:6] = 5  # 4-pixel island inside 96-pixel background
+    tiles = tiles_from_array(spark, arr, meta)
+    relabel = polygonize.sieve(tiles, meta, threshold=5).collect()
+    m = {r.region_id: (r.old_value, r.new_value) for r in relabel}
+    assert any(old == 5.0 and new == 0.0 for old, new in m.values())
+    assert any(old == 0.0 and new == 0.0 for old, new in m.values())
+
+
+@pytest.mark.parametrize("alg", ["near", "bilinear", "cubic"])
+def test_warp_affine_matches_oracle(spark, alg):
+    src_meta = RasterMeta(width=40, height=30, dtype="float32", block_w=16, block_h=16,
+                          gt=(100.0, 2.0, 0.0, 400.0, 0.0, -2.0))
+    # dst: shifted, finer resolution, different blocks
+    dst_meta = RasterMeta(width=50, height=36, dtype="float64", block_w=20, block_h=12,
+                          gt=(96.0, 1.5, 0.0, 404.0, 0.0, -1.7))
+    tiles = synth_raster(spark, src_meta)
+    full = tiles_to_array(tiles, src_meta)
+    got = tiles_to_array(warp.warp_affine(tiles, src_meta, dst_meta, alg=alg, init=-1.0), dst_meta)
+    want = warp.warp_affine_np(full, src_meta, dst_meta, alg=alg, init=-1.0)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_warp_identity_roundtrip(spark):
+    meta = RasterMeta(width=32, height=32, dtype="uint8", block_w=16, block_h=16,
+                      gt=(0.0, 1.0, 0.0, 32.0, 0.0, -1.0))
+    tiles = synth_raster(spark, meta)
+    full = tiles_to_array(tiles, meta)
+    out_meta = RasterMeta(width=32, height=32, dtype="float64", block_w=16, block_h=16, gt=meta.gt)
+    got = tiles_to_array(warp.warp_affine(tiles, meta, meta, alg="near"), out_meta)
+    assert (got == full).all()
+
+
+@pytest.mark.parametrize("alg", ["invdist", "invdistnn", "nearest", "average", "count", "min", "max", "range"])
+def test_grid_matches_oracle(spark, alg):
+    rng = np.random.default_rng(21)
+    n = 120
+    px = rng.uniform(0.0, 32.0, n)
+    py = rng.uniform(0.0, 24.0, n)
+    pz = rng.uniform(0.0, 100.0, n)
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    pts = spark.createDataFrame(pd.DataFrame({"x": px, "y": py, "z": pz}))
+    kw = dict(radius=4.0, power=2.0, smoothing=0.5, min_points=1, max_points=8, nodata=-9.0)
+    got = tiles_to_array(grid.grid_points(pts, meta, alg=alg, **kw), meta)
+    want = grid.grid_points_np(px, py, pz, meta, alg=alg, **kw)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
