@@ -756,6 +756,303 @@ def _oracle_overview_checksum() -> str:
 _lazy_oracle("raster_overview_checksum", _oracle_overview_checksum)
 
 
+# -- 8. layer algebra + ST functions ----------------------------------------
+
+_LA_A = [
+    ("POLYGON ((1 2,1 3,3 3,3 2,1 2))", 1),
+    ("POLYGON ((5 2,5 3,7 3,7 2,5 2))", 2),
+]
+_LA_B = [("POLYGON ((2 1,2 4,6 4,6 1,2 1))", "first")]
+
+
+def _la_dfs(spark):
+    from gdal_spark.geometry import wkt as _wkt
+
+    A = spark.createDataFrame(
+        [(bytearray(_wkt.wkt_to_wkb(w)), a) for w, a in _LA_A], "geometry BINARY, a_val INT"
+    )
+    B = spark.createDataFrame(
+        [(bytearray(_wkt.wkt_to_wkb(w)), b) for w, b in _LA_B], "geometry BINARY, b_val STRING"
+    )
+    return A, B
+
+
+@_register(
+    "layer_algebra_intersection",
+    """
+    SELECT * FROM (VALUES (1, 'first', 1000000), (2, 'first', 1000000))
+    t(a_val, b_val, area_e6) ORDER BY a_val
+    """,
+)
+def q_layer_algebra_intersection(spark, sf_dir):
+    """Golden: ogr_layer_algebra.py:153-199 (two 1x1 overlap rects)."""
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.operators.layer_algebra import intersection
+
+    A, B = _la_dfs(spark)
+    out = intersection(A, B)
+    return out.select(
+        "a_val",
+        "b_val",
+        F.floor(st_area("geometry") * 1_000_000 + F.lit(0.5)).cast("long").alias("area_e6"),
+    ).orderBy("a_val")
+
+
+def _st_area_oracle() -> str:
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from fixtures_poly import POLY_ATTRS, poly_rings
+
+    from gdal_spark.geometry import kernels
+
+    rows = []
+    for rings, (_, eas, _) in zip(poly_rings(), POLY_ATTRS):
+        a = kernels.polygon_area(rings)
+        rows.append(f"({eas}, {int(np.floor(a * 1000 + 0.5))})")
+    return (
+        "SELECT CAST(eas_id AS BIGINT) AS eas_id, CAST(area_e3 AS BIGINT) AS area_e3 "
+        f"FROM (VALUES {', '.join(rows)}) t(eas_id, area_e3) ORDER BY eas_id"
+    )
+
+
+@_register("st_area_reference_polys")
+def q_st_area_reference_polys(spark, sf_dir):
+    """OGR_GEOM_AREA over the reference's poly.shp fixture (AREA field
+    goldens, verified in tests/test_geometry.py)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from fixtures_poly import POLY_ATTRS, poly_rings
+
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.geometry import wkb as _wkb
+
+    df = spark.createDataFrame(
+        [
+            (int(a[1]), bytearray(_wkb.polygon_wkb(p[0], p[1:])))
+            for p, a in zip(poly_rings(), POLY_ATTRS)
+        ],
+        "eas_id LONG, geometry BINARY",
+    )
+    return df.select(
+        "eas_id",
+        F.floor(st_area("geometry") * 1000 + F.lit(0.5)).cast("long").alias("area_e3"),
+    ).orderBy("eas_id")
+
+
+_lazy_oracle("st_area_reference_polys", _st_area_oracle)
+
+
+# -- 9. raster operator checksums -------------------------------------------
+
+def _terrain_meta():
+    from gdal_spark.raster.model import RasterMeta
+
+    return RasterMeta(
+        width=96, height=64, dtype="float32", block_w=32, block_h=32,
+        gt=(1000.0, 10.0, 0.0, 5000.0, 0.0, -10.0),
+    )
+
+
+def _terrain_full_np():
+    from gdal_spark.raster.model import synth_block_np
+
+    meta = _terrain_meta()
+    out = np.zeros((meta.height, meta.width), dtype=meta.dtype)
+    for by in range(meta.blocks_y):
+        for bx in range(meta.blocks_x):
+            h, w = meta.block_shape(bx, by)
+            out[by * 32 : by * 32 + h, bx * 32 : bx * 32 + w] = synth_block_np(bx, by, h, w, meta)
+    return out, meta
+
+
+@_register("dem_hillshade_checksum")
+def q_dem_hillshade_checksum(spark, sf_dir):
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.dem import dem_op
+    from gdal_spark.raster.model import RasterMeta, synth_raster
+
+    meta = _terrain_meta()
+    out = dem_op(synth_raster(spark, meta), meta, "hillshade")
+    out_meta = RasterMeta(width=meta.width, height=meta.height, dtype="float64",
+                          block_w=meta.block_w, block_h=meta.block_h, gt=meta.gt)
+    cs = checksum_df(out, out_meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_hillshade() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.dem import dem_op_np
+
+    full, meta = _terrain_full_np()
+    return f"SELECT CAST({checksum_np(dem_op_np(full, meta, 'hillshade'))} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("dem_hillshade_checksum", _oracle_hillshade)
+
+
+def _raster_fixture_polys():
+    return [
+        "POLYGON ((1.2 1.7,14.8 2.3,10.1 11.4,2.5 9.9,1.2 1.7))",
+        "POLYGON ((8 5,27 4,29 20,12 22,8 5))",
+        "POLYGON ((20 2,30 2,30 8,20 8,20 2))",
+    ]
+
+
+@_register("rasterize_checksum")
+def q_rasterize_checksum(spark, sf_dir):
+    from gdal_spark.geometry import wkt as _wkt
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta
+    from gdal_spark.raster.rasterize import rasterize
+
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    feats = spark.createDataFrame(
+        [
+            (i, bytearray(_wkt.wkt_to_wkb(p)), float(i + 1))
+            for i, p in enumerate(_raster_fixture_polys())
+        ],
+        "fid INT, geometry BINARY, burn DOUBLE",
+    )
+    cs = checksum_df(rasterize(feats, meta, fid_col="fid", merge_alg="ADD"), meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_rasterize() -> str:
+    from gdal_spark.geometry import wkt as _wkt
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.model import RasterMeta
+    from gdal_spark.raster.rasterize import rasterize_np
+
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    rings = [[np.asarray(_wkt.parse_wkt(p)[1][0])] for p in _raster_fixture_polys()]
+    img = rasterize_np(rings, [1.0, 2.0, 3.0], meta, merge_add=True)
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("rasterize_checksum", _oracle_rasterize)
+
+
+@_register("warp_affine_checksum")
+def q_warp_affine_checksum(spark, sf_dir):
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, synth_raster
+    from gdal_spark.raster.warp import warp_affine
+
+    src_meta = _terrain_meta()
+    dst_meta = RasterMeta(width=80, height=50, dtype="float64", block_w=32, block_h=25,
+                          gt=(980.0, 12.0, 0.0, 5020.0, 0.0, -12.5))
+    out = warp_affine(synth_raster(spark, src_meta), src_meta, dst_meta, alg="bilinear", init=-1.0)
+    cs = checksum_df(out, dst_meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_warp() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.model import RasterMeta
+    from gdal_spark.raster.warp import warp_affine_np
+
+    full, src_meta = _terrain_full_np()
+    dst_meta = RasterMeta(width=80, height=50, dtype="float64", block_w=32, block_h=25,
+                          gt=(980.0, 12.0, 0.0, 5020.0, 0.0, -12.5))
+    img = warp_affine_np(full, src_meta, dst_meta, alg="bilinear", init=-1.0)
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("warp_affine_checksum", _oracle_warp)
+
+
+def _grid_fixture_points():
+    rng = np.random.default_rng(55)
+    n = 150
+    return (
+        rng.uniform(0.0, 32.0, n),
+        rng.uniform(0.0, 24.0, n),
+        rng.uniform(0.0, 100.0, n),
+    )
+
+
+@_register("grid_invdist_checksum")
+def q_grid_invdist_checksum(spark, sf_dir):
+    import pandas as _pd
+
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.grid import grid_points
+    from gdal_spark.raster.model import RasterMeta
+
+    px, py, pz = _grid_fixture_points()
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    pts = spark.createDataFrame(_pd.DataFrame({"x": px, "y": py, "z": pz}))
+    out = grid_points(pts, meta, alg="invdist", radius=5.0, power=2.0, smoothing=0.5, min_points=1)
+    cs = checksum_df(out, meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_grid() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.grid import grid_points_np
+    from gdal_spark.raster.model import RasterMeta
+
+    px, py, pz = _grid_fixture_points()
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    img = grid_points_np(px, py, pz, meta, alg="invdist", radius=5.0, power=2.0,
+                         smoothing=0.5, min_points=1)
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("grid_invdist_checksum", _oracle_grid)
+
+
+def _polygonize_fixture():
+    arr = np.zeros((12, 16), dtype=np.uint8)
+    arr[2:10, 2:7] = 1
+    arr[3:9, 9:15] = 2
+    arr[0:2, 14:16] = 1
+    return arr
+
+
+@_register("polygonize_regions")
+def q_polygonize_regions(spark, sf_dir):
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array
+    from gdal_spark.raster.polygonize import polygonize_regions
+
+    meta = RasterMeta(width=16, height=12, dtype="uint8", block_w=8, block_h=6)
+    tiles = tiles_from_array(spark, _polygonize_fixture(), meta)
+    out = polygonize_regions(tiles, meta)
+    return out.select(
+        F.floor("value").cast("long").alias("value"),
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+        F.col("min_x").cast("long").alias("min_x"),
+        F.col("min_y").cast("long").alias("min_y"),
+        F.col("max_x").cast("long").alias("max_x"),
+        F.col("max_y").cast("long").alias("max_y"),
+    ).orderBy("value", "n_pixels")
+
+
+def _oracle_polygonize() -> str:
+    from gdal_spark.raster.polygonize import polygonize_np
+
+    rows = ", ".join(
+        f"({int(v)}, {n}, {x0}, {y0}, {x1}, {y1})"
+        for v, n, x0, y0, x1, y1 in polygonize_np(_polygonize_fixture())
+    )
+    return (
+        "SELECT CAST(value AS BIGINT) AS value, CAST(n_pixels AS BIGINT) AS n_pixels, "
+        "CAST(min_x AS BIGINT) AS min_x, CAST(min_y AS BIGINT) AS min_y, "
+        "CAST(max_x AS BIGINT) AS max_x, CAST(max_y AS BIGINT) AS max_y "
+        f"FROM (VALUES {rows}) t(value, n_pixels, min_x, min_y, max_x, max_y) "
+        "ORDER BY value, n_pixels"
+    )
+
+
+_lazy_oracle("polygonize_regions", _oracle_polygonize)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------

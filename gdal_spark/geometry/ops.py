@@ -574,6 +574,86 @@ def difference_pieces(subject_rings: list, clip_rings_list: list) -> list:
     return pieces
 
 
+def simplify_ring(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker (OGRGeometry::Simplify / GEOS semantics: keep
+    points farther than tol from the chord), iterative stack form."""
+    pts = np.asarray(coords, dtype=float)
+    n = len(pts)
+    if n < 3:
+        return pts.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        seg = pts[i1] - pts[i0]
+        ll = (seg * seg).sum()
+        mid = pts[i0 + 1 : i1]
+        if ll == 0:
+            d2 = ((mid - pts[i0]) ** 2).sum(axis=1)
+        else:
+            t = ((mid - pts[i0]) @ seg) / ll
+            proj = pts[i0] + np.clip(t, 0, 1)[:, None] * seg
+            d2 = ((mid - proj) ** 2).sum(axis=1)
+        k = int(np.argmax(d2))
+        if d2[k] > tol * tol:
+            keep[i0 + 1 + k] = True
+            stack.append((i0, i0 + 1 + k))
+            stack.append((i0 + 1 + k, i1))
+    return pts[keep]
+
+
+def segmentize_line(coords: np.ndarray, max_len: float) -> np.ndarray:
+    """Insert vertices so no segment exceeds max_len
+    (OGRGeometry::segmentize semantics: equal subdivision per segment)."""
+    pts = np.asarray(coords, dtype=float)
+    if len(pts) < 2:
+        return pts.copy()
+    out = [pts[:1]]
+    for i in range(len(pts) - 1):
+        a, b = pts[i], pts[i + 1]
+        d = float(np.hypot(*(b - a)))
+        k = int(np.ceil(d / max_len)) if d > max_len else 1
+        if k > 1:
+            t = np.linspace(0, 1, k + 1)[1:]
+            out.append(a + t[:, None] * (b - a))
+        else:
+            out.append(b[None, :])
+    return np.vstack(out)
+
+
+def transform_geom(g, fn):
+    """Apply a coordinate transform fn(xs, ys) -> (xs, ys) recursively."""
+    name, payload = g
+    if name == "Point":
+        x, y = fn(np.array([payload[0]]), np.array([payload[1]]))
+        return (name, (float(x[0]), float(y[0])))
+    if name == "LineString":
+        x, y = fn(payload[:, 0], payload[:, 1])
+        return (name, np.column_stack([x, y]))
+    if name == "Polygon":
+        out = []
+        for r in payload:
+            x, y = fn(r[:, 0], r[:, 1])
+            out.append(np.column_stack([x, y]))
+        return (name, out)
+    return (name, [transform_geom(c, fn) for c in payload])
+
+
+def map_rings(g, fn):
+    """Apply fn(ring_coords) -> coords to every coordinate sequence."""
+    name, payload = g
+    if name == "Point":
+        return g
+    if name == "LineString":
+        return (name, fn(payload))
+    if name == "Polygon":
+        return (name, [fn(r) for r in payload])
+    return (name, [map_rings(c, fn) for c in payload])
+
+
 def buffer_point(x: float, y: float, dist: float, quadsegs: int = 30):
     """Round buffer of a point: regular 4*quadsegs-gon (GEOS default
     quadrantSegments=8; OGR exposes it — we default finer)."""

@@ -1,0 +1,146 @@
+"""Multimodal (image/audio/video) columns for the training-data pipeline.
+
+Media are opaque ``BINARY`` payloads + a typed metadata struct; all
+processing is Arrow-batched ``mapInPandas`` with REAL Spark plumbing
+(schemas, partitioning, batch shapes) and a clearly-gated decode step:
+the actual codecs (PIL / libav) are not in this container, so
+``decode=`` defaults to a deterministic fake (seeded from the payload
+bytes) and ``decode="real"`` raises ``NotImplementedError`` unless the
+codec import succeeds. Swapping in a real decoder changes ONE function —
+every schema, UDF signature, and shuffle stays identical.
+
+MEDIA_SCHEMA:
+    media_id LONG, kind STRING ('image'|'audio'|'video'), data BINARY,
+    width INT, height INT, channels INT, sample_rate INT, n_frames INT
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id LONG, kind STRING, data BINARY, width INT, height INT, "
+    "channels INT, sample_rate INT, n_frames INT"
+)
+
+try:  # pragma: no cover - codec not present in this container
+    from PIL import Image as _PIL_Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def _seed_from_bytes(b: bytes) -> int:
+    h = 1469598103934665603
+    for byte in b[:64]:
+        h = ((h ^ byte) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def fake_decode_image(data: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Deterministic stand-in decode: pixels seeded from payload bytes.
+
+    Same input bytes → same pixel array on every executor and run, so
+    downstream tests are exact. Replace with a real codec by passing
+    decode='real' once PIL is available.
+    """
+    rng = np.random.default_rng(_seed_from_bytes(data))
+    return rng.integers(0, 256, (height, width, channels), dtype=np.uint8)
+
+
+def real_decode_image(data: bytes, *a) -> np.ndarray:  # pragma: no cover
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "real image decode needs PIL, which is not installed; use the "
+            "deterministic fake (decode='fake') for plumbing tests"
+        )
+    import io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(data)))
+
+
+def _decoder(decode: str):
+    if decode == "real":
+        return real_decode_image
+    return fake_decode_image
+
+
+def synth_media(spark: SparkSession, n: int, kind: str = "image") -> DataFrame:
+    """Deterministic media table: payload bytes from xxhash64 chains."""
+    df = spark.range(n)
+    i = F.col("id")
+    payload = F.sha2(F.concat(F.lit(kind), i.cast("string")), 256).cast("binary")
+    return df.select(
+        i.alias("media_id"),
+        F.lit(kind).alias("kind"),
+        payload.alias("data"),
+        (F.pmod(F.xxhash64(i), F.lit(64)) + 32).cast("int").alias("width"),
+        (F.pmod(F.xxhash64(i + 1), F.lit(64)) + 32).cast("int").alias("height"),
+        F.lit(3).cast("int").alias("channels"),
+        F.when(F.lit(kind) == "audio", F.lit(16000)).otherwise(F.lit(0)).cast("int").alias("sample_rate"),
+        F.when(F.lit(kind) == "video", (F.pmod(F.xxhash64(i + 2), F.lit(120)) + 8).cast("int"))
+        .otherwise(F.lit(1)).cast("int").alias("n_frames"),
+    )
+
+
+def image_features(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """Per-image features: (media_id, mean_e6, std_e6, hist ARRAY<LONG>).
+
+    mapInPandas over Arrow batches; one decode per row, vectorized stats.
+    """
+    dec = _decoder(decode)
+
+    def feat(iterator):
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = dec(bytes(r["data"]), int(r.width), int(r.height), int(r.channels))
+                hist = np.bincount(img.ravel() >> 5, minlength=8)
+                rows.append(
+                    (
+                        int(r.media_id),
+                        int(np.floor(img.mean() * 1e6 + 0.5)),
+                        int(np.floor(img.std() * 1e6 + 0.5)),
+                        [int(x) for x in hist],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "mean_e6", "std_e6", "hist"])
+
+    return media.mapInPandas(
+        feat, "media_id LONG, mean_e6 LONG, std_e6 LONG, hist ARRAY<LONG>"
+    )
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int, decode: str = "fake") -> DataFrame:
+    """Nearest-neighbor resize; output raw uint8 HWC bytes + dims."""
+    dec = _decoder(decode)
+
+    def rs(iterator):
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = dec(bytes(r["data"]), int(r.width), int(r.height), int(r.channels))
+                ys = (np.arange(out_h) * img.shape[0] // out_h).astype(int)
+                xs = (np.arange(out_w) * img.shape[1] // out_w).astype(int)
+                out = img[np.ix_(ys, xs)]
+                rows.append((int(r.media_id), out_w, out_h, int(r.channels), out.tobytes()))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "channels", "pixels"])
+
+    return media.mapInPandas(
+        rs, "media_id LONG, width INT, height INT, channels INT, pixels BINARY"
+    )
+
+
+def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
+    """Video frame sampling plumbing: one row per sampled frame index
+    (column math — the decode of each frame is the same gated step)."""
+    v = media.filter(F.col("kind") == "video")
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
+    return v.select(
+        "media_id", F.explode(idx).alias("frame_idx"), "data", "width", "height", "channels"
+    )

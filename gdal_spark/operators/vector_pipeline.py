@@ -1,0 +1,205 @@
+"""Composable vector pipeline — ``ogr2ogr`` / ``gdal vector pipeline``
+re-expressed as chained DataFrame transforms.
+
+Step names follow the reference's pipeline steps 1:1
+(apps/gdalalg_vector_{filter,select,reproject,clip,simplify,segmentize,
+swap_xy,explode_collections,set_geom_type,sql}.cpp; option struct
+apps/ogr2ogr_lib.cpp:136):
+
+    VectorPipeline(df)
+        .where("pop > 1000")         # -where
+        .select(["name", "pop"])     # -select (geometry always kept)
+        .spat(xmin, ymin, xmax, ymax)# -spat (envelope prefilter + exact)
+        .clip_rect(...)              # gdalalg_vector_clip (rect case)
+        .reproject("EPSG:4326", "EPSG:3857")  # -t_srs (built-in CRSs)
+        .simplify(tol)               # -simplify (Douglas-Peucker)
+        .segmentize(max_len)         # -segmentize
+        .swap_xy()                   # gdalalg_vector_swap_xy
+        .explode_collections()       # -explode_collections
+        .df                          # terminal DataFrame
+
+Geometry steps are Arrow pandas UDFs over the WKB column; attribute
+steps are plain Catalyst expressions (pushdown-friendly). Supported CRS
+transforms without PROJ: EPSG:4326 ⇄ EPSG:3857 (spherical mercator) and
+arbitrary affine — the reference delegates everything else to PROJ
+(ogr/ogrct.cpp), out of scope GEOS/PROJ-free v1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import BinaryType
+
+from gdal_spark import tiling
+from gdal_spark.geometry import ops, wkb, wkt
+
+
+def _geom_udf(fn):
+    @F.pandas_udf(BinaryType())
+    def _udf(g: pd.Series) -> pd.Series:
+        out = []
+        for b in g:
+            if b is None:
+                out.append(None)
+                continue
+            res = fn(wkb.parse_wkb(bytes(b)))
+            out.append(None if res is None else wkt.geom_to_wkb(*res))
+        return pd.Series(out)
+
+    return _udf
+
+
+def _lonlat_to_merc(xs, ys):
+    return tiling.lonlat_to_mercator_np(xs, ys)
+
+
+def _merc_to_lonlat(xs, ys):
+    lon = np.asarray(xs) / tiling.ORIGIN * 180.0
+    lat = np.degrees(2.0 * np.arctan(np.exp(np.asarray(ys) / tiling.ORIGIN * np.pi)) - np.pi / 2.0)
+    return lon, lat
+
+
+class VectorPipeline:
+    def __init__(self, df: DataFrame, geom_col: str = "geometry"):
+        self.df = df
+        self.geom = geom_col
+
+    def _with_geom(self, udf) -> "VectorPipeline":
+        return VectorPipeline(
+            self.df.withColumn(self.geom, udf(F.col(self.geom))), self.geom
+        )
+
+    # -- attribute steps (stay in Catalyst) --------------------------------
+
+    def where(self, predicate: str | Column) -> "VectorPipeline":
+        return VectorPipeline(self.df.filter(predicate), self.geom)
+
+    def select(self, fields: list[str]) -> "VectorPipeline":
+        cols = list(fields)
+        if self.geom not in cols:
+            cols.append(self.geom)
+        return VectorPipeline(self.df.select(*cols), self.geom)
+
+    def sql(self, spark, query: str, view: str = "__pipe") -> "VectorPipeline":
+        self.df.createOrReplaceTempView(view)
+        return VectorPipeline(spark.sql(query), self.geom)
+
+    # -- spatial filter (filter-refine, ogrlayer.cpp:2253-2325) ------------
+
+    def spat(self, xmin, ymin, xmax, ymax) -> "VectorPipeline":
+        @F.pandas_udf("boolean")
+        def hits(g: pd.Series) -> pd.Series:
+            rect = (
+                "Polygon",
+                [np.array([[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]])],
+            )
+            out = []
+            for b in g:
+                if b is None:
+                    out.append(False)
+                    continue
+                geom = wkb.parse_wkb(bytes(b))
+                e = ops.envelope(geom)
+                if np.isnan(e[0]) or e[0] > xmax or e[2] < xmin or e[1] > ymax or e[3] < ymin:
+                    out.append(False)  # envelope reject
+                else:
+                    out.append(ops.intersects(geom, rect))  # exact refine
+            return pd.Series(out)
+
+        return VectorPipeline(self.df.filter(hits(F.col(self.geom))), self.geom)
+
+    # -- geometry steps ----------------------------------------------------
+
+    def clip_rect(self, xmin, ymin, xmax, ymax) -> "VectorPipeline":
+        rect = np.array(
+            [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]]
+        )
+
+        def _clip(g):
+            polys = ops._polygons_of(g)
+            if not polys:
+                return g  # non-areal passthrough (reference keeps or drops by dim)
+            rings = []
+            for p in polys:
+                r = ops.clip_polygon_convex(p[0], rect)
+                if len(r):
+                    rings.append(r)
+            if not rings:
+                return None
+            if len(rings) == 1:
+                return ("Polygon", [rings[0]])
+            return ("MultiPolygon", [("Polygon", [r]) for r in rings])
+
+        out = self._with_geom(_geom_udf(_clip))
+        return VectorPipeline(out.df.filter(F.col(self.geom).isNotNull()), self.geom)
+
+    def reproject(self, src: str, dst: str) -> "VectorPipeline":
+        key = (src.upper(), dst.upper())
+        if key == ("EPSG:4326", "EPSG:3857"):
+            fn = _lonlat_to_merc
+        elif key == ("EPSG:3857", "EPSG:4326"):
+            fn = _merc_to_lonlat
+        else:
+            raise NotImplementedError(f"v1 reprojection supports 4326<->3857, got {key}")
+        return self._with_geom(_geom_udf(lambda g: ops.transform_geom(g, fn)))
+
+    def affine(self, gt: tuple) -> "VectorPipeline":
+        def fn(xs, ys):
+            return (
+                gt[0] + np.asarray(xs) * gt[1] + np.asarray(ys) * gt[2],
+                gt[3] + np.asarray(xs) * gt[4] + np.asarray(ys) * gt[5],
+            )
+
+        return self._with_geom(_geom_udf(lambda g: ops.transform_geom(g, fn)))
+
+    def simplify(self, tolerance: float) -> "VectorPipeline":
+        return self._with_geom(
+            _geom_udf(lambda g: ops.map_rings(g, lambda r: ops.simplify_ring(r, tolerance)))
+        )
+
+    def segmentize(self, max_length: float) -> "VectorPipeline":
+        return self._with_geom(
+            _geom_udf(lambda g: ops.map_rings(g, lambda r: ops.segmentize_line(r, max_length)))
+        )
+
+    def swap_xy(self) -> "VectorPipeline":
+        return self._with_geom(
+            _geom_udf(lambda g: ops.transform_geom(g, lambda x, y: (y, x)))
+        )
+
+    def explode_collections(self) -> "VectorPipeline":
+        """Multi* → one row per part (ogr2ogr -explode_collections)."""
+        @F.pandas_udf("array<binary>")
+        def parts(g: pd.Series) -> pd.Series:
+            out = []
+            for b in g:
+                if b is None:
+                    out.append([None])
+                    continue
+                name, payload = wkb.parse_wkb(bytes(b))
+                if name in ("MultiPoint", "MultiLineString", "MultiPolygon", "GeometryCollection"):
+                    out.append([wkt.geom_to_wkb(n, p) for n, p in payload])
+                else:
+                    out.append([bytes(b)])
+            return pd.Series(out)
+
+        df = self.df.withColumn("__parts", parts(F.col(self.geom)))
+        df = df.withColumn(self.geom, F.explode("__parts")).drop("__parts")
+        return VectorPipeline(df, self.geom)
+
+    def set_geom_type(self, promote_to_multi: bool = True) -> "VectorPipeline":
+        """PROMOTE_TO_MULTI (ogr2ogr -nlt PROMOTE_TO_MULTI)."""
+
+        def _promote(g):
+            name, payload = g
+            if name == "Point":
+                return ("MultiPoint", [g])
+            if name == "LineString":
+                return ("MultiLineString", [g])
+            if name == "Polygon":
+                return ("MultiPolygon", [g])
+            return g
+
+        return self._with_geom(_geom_udf(_promote))

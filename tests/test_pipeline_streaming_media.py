@@ -1,0 +1,147 @@
+"""Vector pipeline steps, streaming wrapper, multimodal plumbing."""
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.geometry import ops, wkb, wkt
+from gdal_spark.multimodal import (
+    fake_decode_image,
+    image_features,
+    resize_images,
+    sample_frames,
+    synth_media,
+)
+from gdal_spark.operators.vector_pipeline import VectorPipeline
+from gdal_spark.streaming import (
+    streaming_pages_from_rate,
+    streaming_tile_counts,
+    streaming_url_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def vdf(spark):
+    rows = [
+        ("POLYGON ((0 0,10 0,10 10,0 10,0 0))", 1, 100),
+        ("POLYGON ((20 20,24 20,24 24,20 24,20 20))", 2, 50),
+        ("MULTIPOLYGON (((0 0,1 0,1 1,0 1,0 0)),((5 5,6 5,6 6,5 6,5 5)))", 3, 10),
+        ("LINESTRING (0 0,5 0,5 5)", 4, 7),
+    ]
+    return spark.createDataFrame(
+        [(bytearray(wkt.wkt_to_wkb(w)), i, p) for w, i, p in rows],
+        "geometry BINARY, fid INT, pop INT",
+    )
+
+
+def test_pipeline_where_select(spark, vdf):
+    out = VectorPipeline(vdf).where("pop >= 50").select(["fid"]).df
+    assert set(out.columns) == {"fid", "geometry"}
+    assert sorted(r.fid for r in out.collect()) == [1, 2]
+
+
+def test_pipeline_spat_filter(spark, vdf):
+    out = VectorPipeline(vdf).spat(15, 15, 30, 30).df
+    assert [r.fid for r in out.collect()] == [2]
+
+
+def test_pipeline_clip_rect(spark, vdf):
+    out = VectorPipeline(vdf.filter("fid = 1")).clip_rect(5, 5, 20, 20).df
+    g = wkb.parse_wkb(bytes(out.collect()[0].geometry))
+    assert ops.area(g) == 25.0  # (5,5)-(10,10)
+
+
+def test_pipeline_reproject_roundtrip(spark, vdf):
+    p = VectorPipeline(vdf.filter("fid = 2"))
+    rt = p.reproject("EPSG:4326", "EPSG:3857").reproject("EPSG:3857", "EPSG:4326").df
+    g = wkb.parse_wkb(bytes(rt.collect()[0].geometry))
+    orig = wkt.parse_wkt("POLYGON ((20 20,24 20,24 24,20 24,20 20))")
+    np.testing.assert_allclose(g[1][0], orig[1][0], atol=1e-9)
+
+
+def _line_df(spark, coords):
+    return spark.createDataFrame(
+        [(bytearray(wkb.linestring_wkb(coords)),)], "geometry BINARY"
+    )
+
+
+def test_pipeline_simplify_segmentize(spark):
+    line = np.column_stack([np.linspace(0, 10, 21), np.zeros(21)])
+    line[10, 1] = 0.001  # nearly-collinear bump
+    df = VectorPipeline(_line_df(spark, line)).simplify(0.01).df
+    g = wkb.parse_wkb(bytes(df.collect()[0].geometry))
+    assert len(g[1]) == 2  # collapsed to endpoints
+    df2 = VectorPipeline(_line_df(spark, np.array([[0.0, 0.0], [10.0, 0.0]]))).segmentize(3.0).df
+    g2 = wkb.parse_wkb(bytes(df2.collect()[0].geometry))
+    assert len(g2[1]) == 5  # 4 sub-segments of 2.5
+    seg = np.diff(g2[1], axis=0)
+    assert np.hypot(seg[:, 0], seg[:, 1]).max() <= 3.0
+
+
+def test_pipeline_swap_explode_promote(spark, vdf):
+    out = VectorPipeline(vdf.filter("fid = 3")).explode_collections().df
+    assert out.count() == 2
+    sw = VectorPipeline(vdf.filter("fid = 4")).swap_xy().df
+    g = wkb.parse_wkb(bytes(sw.collect()[0].geometry))
+    assert g[1][0, 0] == 0 and g[1][2, 0] == 5 and g[1][2, 1] == 5
+    pr = VectorPipeline(vdf.filter("fid = 1")).set_geom_type().df
+    assert wkb.parse_wkb(bytes(pr.collect()[0].geometry))[0] == "MultiPolygon"
+
+
+def test_streaming_tile_counts(spark):
+    pages = streaming_pages_from_rate(spark, rows_per_second=500)
+    counts = streaming_tile_counts(pages, zoom=4, window="10 seconds", watermark="0 seconds")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("tile_counts_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # rate + availableNow processes at least one batch; append mode emits
+    # only closed windows, so just assert the query ran and the schema
+    got = spark.sql("SELECT * FROM tile_counts_test")
+    assert got.columns == ["window_start", "tile_x", "tile_y", "n"]
+
+
+def test_streaming_url_dedup_schema(spark):
+    pages = streaming_pages_from_rate(spark, rows_per_second=100)
+    d = streaming_url_dedup(pages)
+    assert d.isStreaming
+    assert [f.name for f in d.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_media_features_deterministic(spark):
+    m = synth_media(spark, 20)
+    f1 = image_features(m).orderBy("media_id").collect()
+    f2 = image_features(m).orderBy("media_id").collect()
+    assert [tuple(r) for r in f1] == [tuple(r) for r in f2]
+    assert all(len(r.hist) == 8 for r in f1)
+    assert all(sum(r.hist) == r1.width * r1.height * 3 for r, r1 in zip(f1, m.orderBy("media_id").collect()))
+
+
+def test_media_resize_shapes(spark):
+    m = synth_media(spark, 5)
+    out = resize_images(m, 16, 12).collect()
+    for r in out:
+        assert r.width == 16 and r.height == 12
+        arr = np.frombuffer(bytes(r.pixels), dtype=np.uint8)
+        assert arr.size == 16 * 12 * 3
+
+
+def test_media_real_decode_gated(spark):
+    from gdal_spark.multimodal import real_decode_image
+
+    with pytest.raises(NotImplementedError):
+        real_decode_image(b"xx", 4, 4, 3)
+
+
+def test_video_frame_sampling(spark):
+    m = synth_media(spark, 10, kind="video")
+    s = sample_frames(m, every_k=7).collect()
+    meta = {r.media_id: r.n_frames for r in m.collect()}
+    for mid, nf in meta.items():
+        want = list(range(0, nf, 7))
+        got = sorted(r.frame_idx for r in s if r.media_id == mid)
+        assert got == want
