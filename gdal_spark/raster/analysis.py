@@ -1,0 +1,281 @@
+"""Raster analysis ops: contour (marching squares), proximity, fillnodata.
+
+- **contour** (alg/contour.cpp + alg/marching_squares/): classical
+  marching squares over the pixel-center grid, linear interpolation on
+  cell edges, saddle disambiguation by cell-mean (the reference's
+  documented choice, marching_squares/square.h:266). Output is per-cell
+  segments (level, x0, y0, x1, y1 in pixel-center coordinates); the
+  reference additionally stitches them into polylines — segment sets are
+  equal, stitching is representation.
+  Distribution: cells are owned by the tile containing their upper-left
+  pixel; a halo-1 exchange supplies the right/bottom neighbors, so every
+  cell is computed exactly once — no cross-tile seams.
+- **proximity** (alg/gdalproximity.cpp:94): distance to the nearest
+  target pixel. Exact Euclidean per pixel against the target set; the
+  target coordinates (sparse by assumption) broadcast to every block.
+  maxdist clips the search. (The reference's two-pass scanline is an
+  approximation of the same metric; ours is the exact form.)
+- **fillnodata** (alg/rasterfill.cpp:394): nodata pixels filled by
+  inverse-distance weighting of the first valid pixel hit in each of the
+  8 compass directions within max_distance — the reference's
+  smoothing-free contract; vectorized as 8 directional shift scans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from gdal_spark.raster.halo import padded_blocks
+from gdal_spark.raster.model import RasterMeta, TILES_SCHEMA
+
+
+# ---------------------------------------------------------------------------
+# contour
+# ---------------------------------------------------------------------------
+
+def _cell_segments(z00, z10, z01, z11, level):
+    """Marching squares for one cell (corners: 00=UL, 10=UR, 01=LL, 11=LR
+    at pixel centers distance 1 apart). Returns list of (x0,y0,x1,y1)
+    relative to the UL corner."""
+    b = (z00 >= level, z10 >= level, z01 >= level, z11 >= level)
+    idx = b[0] * 1 + b[1] * 2 + b[2] * 4 + b[3] * 8
+    if idx in (0, 15):
+        return []
+
+    def t(a, c):
+        # edges with a == c are never used by the lookup table (they
+        # cannot straddle the level); avoid the div-by-zero warning
+        return (level - a) / (c - a) if c != a else 0.5
+
+    top = (t(z00, z10), 0.0)
+    bottom = (t(z01, z11), 1.0)
+    left = (0.0, t(z00, z01))
+    right = (1.0, t(z10, z11))
+    table = {
+        1: [(left, top)], 2: [(top, right)], 3: [(left, right)],
+        4: [(bottom, left)], 5: [(bottom, top)], 6: None, 7: [(bottom, right)],
+        8: [(right, bottom)], 9: None, 10: [(top, bottom)], 11: [(left, bottom)],
+        12: [(right, left)], 13: [(right, top)], 14: [(top, left)],
+    }
+    segs = table[idx]
+    if segs is None:  # saddle: disambiguate by cell mean (square.h:266)
+        mean = (z00 + z10 + z01 + z11) / 4.0
+        if idx == 6:
+            segs = [(top, right), (bottom, left)] if mean < level else [(top, left), (bottom, right)]
+        else:  # idx == 9
+            segs = [(left, top), (right, bottom)] if mean < level else [(left, bottom), (right, top)]
+    return [(p[0], p[1], q[0], q[1]) for p, q in segs]
+
+
+def contour_segments_np(arr: np.ndarray, levels) -> list:
+    """Oracle: sorted list of (level, x0, y0, x1, y1) pixel-center coords."""
+    h, w = arr.shape
+    a = arr.astype(np.float64)
+    out = []
+    for level in levels:
+        for y in range(h - 1):
+            for x in range(w - 1):
+                for (sx0, sy0, sx1, sy1) in _cell_segments(
+                    a[y, x], a[y, x + 1], a[y + 1, x], a[y + 1, x + 1], level
+                ):
+                    out.append(
+                        (float(level), round(x + 0.5 + sx0, 9), round(y + 0.5 + sy0, 9),
+                         round(x + 0.5 + sx1, 9), round(y + 0.5 + sy1, 9))
+                    )
+    return sorted(out)
+
+
+def contour_segments(
+    tiles: DataFrame, meta: RasterMeta, levels, band: int = 1
+) -> DataFrame:
+    """Distributed marching squares → (level, x0, y0, x1, y1)."""
+    dtype = meta.dtype
+    H, W = meta.height, meta.width
+    bh, bw = meta.block_h, meta.block_w
+    padded = padded_blocks(tiles.filter(F.col("band") == band), meta, 1)
+    lv = list(map(float, levels))
+
+    def cells(iterator):
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                pad = np.frombuffer(r.data, dtype=dtype).reshape(r.h + 2, r.w + 2).astype(np.float64)
+                bx, by = int(r.block_x), int(r.block_y)
+                gx0, gy0 = bx * bw, by * bh
+                # cells owned: UL pixel inside this block, and not past
+                # the raster's last row/col of cells
+                for level in lv:
+                    for yy in range(r.h):
+                        gy = gy0 + yy
+                        if gy >= H - 1:
+                            break
+                        for xx in range(r.w):
+                            gx = gx0 + xx
+                            if gx >= W - 1:
+                                break
+                            z00 = pad[yy + 1, xx + 1]
+                            z10 = pad[yy + 1, xx + 2]
+                            z01 = pad[yy + 2, xx + 1]
+                            z11 = pad[yy + 2, xx + 2]
+                            for (sx0, sy0, sx1, sy1) in _cell_segments(z00, z10, z01, z11, level):
+                                rows.append(
+                                    (float(level),
+                                     round(gx + 0.5 + sx0, 9), round(gy + 0.5 + sy0, 9),
+                                     round(gx + 0.5 + sx1, 9), round(gy + 0.5 + sy1, 9))
+                                )
+            yield pd.DataFrame(rows, columns=["level", "x0", "y0", "x1", "y1"])
+
+    return padded.mapInPandas(
+        cells, "level DOUBLE, x0 DOUBLE, y0 DOUBLE, x1 DOUBLE, y1 DOUBLE"
+    )
+
+
+# ---------------------------------------------------------------------------
+# proximity
+# ---------------------------------------------------------------------------
+
+def proximity(
+    tiles: DataFrame,
+    meta: RasterMeta,
+    target_values: list,
+    max_dist: float | None = None,
+    band: int = 1,
+) -> DataFrame:
+    """Distance raster to the nearest target pixel (exact Euclidean,
+    pixel units). Target pixel centers are extracted distributed, then
+    broadcast; each block computes min distances vectorized."""
+    dtype = meta.dtype
+    bw, bh = meta.block_w, meta.block_h
+    tv = set(float(v) for v in target_values)
+
+    def targets(iterator):
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = np.frombuffer(r.data, dtype=dtype).reshape(r.h, r.w).astype(np.float64)
+                m = np.isin(arr, list(tv))
+                ys, xs = np.nonzero(m)
+                for y, x in zip(ys, xs):
+                    rows.append((int(r.block_x) * bw + int(x), int(r.block_y) * bh + int(y)))
+            yield pd.DataFrame(rows, columns=["tx", "ty"])
+
+    src = tiles.filter(F.col("band") == band)
+    tpts = src.mapInPandas(targets, "tx LONG, ty LONG").collect()
+    txs = np.array([r.tx for r in tpts], dtype=np.float64)
+    tys = np.array([r.ty for r in tpts], dtype=np.float64)
+    md = float(max_dist) if max_dist is not None else float(np.hypot(meta.width, meta.height))
+
+    def dist_block(iterator):
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                h, w = int(r.h), int(r.w)
+                gx = np.arange(w) + int(r.block_x) * bw
+                gy = np.arange(h) + int(r.block_y) * bh
+                GX, GY = np.meshgrid(gx, gy)
+                if len(txs):
+                    d2 = (
+                        (GX.ravel()[:, None] - txs[None, :]) ** 2
+                        + (GY.ravel()[:, None] - tys[None, :]) ** 2
+                    )
+                    d = np.sqrt(d2.min(axis=1)).reshape(h, w)
+                else:
+                    d = np.full((h, w), md)
+                d = np.minimum(d, md)
+                rows.append((int(r.band), int(r.block_y), int(r.block_x), h, w, d.tobytes()))
+            yield pd.DataFrame(rows, columns=["band", "block_y", "block_x", "h", "w", "data"])
+
+    return src.mapInPandas(dist_block, TILES_SCHEMA)
+
+
+def proximity_np(arr: np.ndarray, target_values, max_dist=None) -> np.ndarray:
+    tv = set(float(v) for v in target_values)
+    m = np.isin(arr.astype(np.float64), list(tv))
+    ys, xs = np.nonzero(m)
+    h, w = arr.shape
+    md = float(max_dist) if max_dist is not None else float(np.hypot(w, h))
+    GX, GY = np.meshgrid(np.arange(w), np.arange(h))
+    if len(xs) == 0:
+        return np.full((h, w), md)
+    d2 = (GX.ravel()[:, None] - xs[None, :]) ** 2 + (GY.ravel()[:, None] - ys[None, :]) ** 2
+    return np.minimum(np.sqrt(d2.min(axis=1)).reshape(h, w), md)
+
+
+# ---------------------------------------------------------------------------
+# fillnodata
+# ---------------------------------------------------------------------------
+
+_DIRS = [(-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1)]
+
+
+def fillnodata_np(arr: np.ndarray, nodata: float, max_distance: int) -> np.ndarray:
+    """8-direction first-hit IDW fill (pixel units, weight 1/d)."""
+    a = arr.astype(np.float64)
+    invalid = a == nodata
+    num = np.zeros_like(a)
+    den = np.zeros_like(a)
+    h, w = a.shape
+    for dy, dx in _DIRS:
+        step = np.hypot(dy, dx)
+        hit_val = np.full((h, w), np.nan)
+        hit_d = np.full((h, w), np.inf)
+        for k in range(1, max_distance + 1):
+            sy = k * dy
+            sx = k * dx
+            shifted = np.full((h, w), np.nan)
+            ys0, ys1 = max(0, -sy), min(h, h - sy)
+            xs0, xs1 = max(0, -sx), min(w, w - sx)
+            shifted[ys0:ys1, xs0:xs1] = a[ys0 + sy : ys1 + sy, xs0 + sx : xs1 + sx]
+            valid_sh = ~np.isnan(shifted) & (shifted != nodata)
+            take = np.isinf(hit_d) & valid_sh
+            hit_val[take] = shifted[take]
+            hit_d[take] = k * step
+            if k * step > max_distance:
+                break
+        use = invalid & np.isfinite(hit_d) & (hit_d <= max_distance)
+        wgt = np.zeros((h, w))
+        wgt[use] = 1.0 / hit_d[use]
+        num[use] += hit_val[use] * wgt[use]
+        den[use] += wgt[use]
+    out = a.copy()
+    fill = invalid & (den > 0)
+    out[fill] = num[fill] / den[fill]
+    return out
+
+
+def fillnodata(
+    tiles: DataFrame, meta: RasterMeta, nodata: float, max_distance: int, band: int = 1
+) -> DataFrame:
+    """Distributed fill: halo = max_distance so every directional scan
+    sees the same neighborhood the full-array oracle sees."""
+    dtype = meta.dtype
+    padded = padded_blocks(tiles.filter(F.col("band") == band), meta, max_distance)
+
+    def fill(iterator):
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                md = int(r.halo)
+                pad = np.frombuffer(r.data, dtype=dtype).reshape(
+                    r.h + 2 * md, r.w + 2 * md
+                ).astype(np.float64)
+                # halo replicates edges OUTSIDE the raster; the full-array
+                # scan sees nothing there — mask those cells to nodata so
+                # block and oracle agree at raster borders
+                y0 = int(r.block_y) * meta.block_h - md
+                x0 = int(r.block_x) * meta.block_w - md
+                gys = np.arange(pad.shape[0]) + y0
+                gxs = np.arange(pad.shape[1]) + x0
+                outside = (
+                    ((gys < 0) | (gys >= meta.height))[:, None]
+                    | ((gxs < 0) | (gxs >= meta.width))[None, :]
+                )
+                pad[outside] = nodata
+                out = fillnodata_np(pad, nodata, md)[md:-md, md:-md]
+                rows.append((int(r.band), int(r.block_y), int(r.block_x),
+                             int(r.h), int(r.w), out.tobytes()))
+            yield pd.DataFrame(rows, columns=["band", "block_y", "block_x", "h", "w", "data"])
+
+    return padded.mapInPandas(fill, TILES_SCHEMA)

@@ -1,0 +1,93 @@
+"""Contour, proximity, fillnodata, translate, calc vs NumPy oracles."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.raster import analysis, translate as T
+from gdal_spark.raster.model import RasterMeta, synth_raster, tiles_from_array, tiles_to_array
+
+
+def test_contour_segments_match_oracle(spark):
+    meta = RasterMeta(width=30, height=20, dtype="float32", block_w=10, block_h=10)
+    tiles = synth_raster(spark, meta)
+    full = tiles_to_array(tiles, meta)
+    levels = [250.0, 500.0]
+    got = sorted(
+        (r.level, r.x0, r.y0, r.x1, r.y1)
+        for r in analysis.contour_segments(tiles, meta, levels).collect()
+    )
+    want = analysis.contour_segments_np(full, levels)
+    assert got == want
+    assert len(got) > 10
+
+
+def test_contour_simple_gradient():
+    """Horizontal ramp crossing level 5 → vertical contour line pieces."""
+    arr = np.tile(np.arange(10, dtype=float), (5, 1))
+    segs = analysis.contour_segments_np(arr, [4.5])
+    assert len(segs) == 4  # one per cell row
+    xs = {s[1] for s in segs} | {s[3] for s in segs}
+    assert xs == {5.0}  # interpolated exactly between centers 4 and 5
+
+
+def test_proximity_matches_oracle(spark):
+    meta = RasterMeta(width=24, height=18, dtype="uint8", block_w=8, block_h=6)
+    arr = np.zeros((18, 24), dtype=np.uint8)
+    arr[3, 4] = 7
+    arr[15, 20] = 7
+    arr[9, 12] = 3
+    tiles = tiles_from_array(spark, arr, meta)
+    out_meta = RasterMeta(width=24, height=18, dtype="float64", block_w=8, block_h=6)
+    got = tiles_to_array(analysis.proximity(tiles, meta, [7, 3], max_dist=10.0), out_meta)
+    want = analysis.proximity_np(arr, [7, 3], max_dist=10.0)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+    assert got[3, 4] == 0.0 and got[0, 0] == pytest.approx(5.0)
+
+
+def test_fillnodata_matches_oracle(spark):
+    meta = RasterMeta(width=24, height=16, dtype="float64", block_w=8, block_h=8)
+    rng = np.random.default_rng(13)
+    arr = rng.uniform(10, 20, (16, 24))
+    arr[5:8, 6:10] = -999.0
+    arr[0:2, 0:3] = -999.0  # touches the border
+    tiles = tiles_from_array(spark, arr, meta)
+    got = tiles_to_array(analysis.fillnodata(tiles, meta, -999.0, max_distance=5), meta)
+    want = analysis.fillnodata_np(arr, -999.0, 5)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert not (got == -999.0).any()
+    # valid pixels untouched
+    valid = arr != -999.0
+    assert (got[valid] == arr[valid]).all()
+
+
+def test_translate_crop_resize_cast_scale(spark):
+    meta = RasterMeta(width=40, height=30, dtype="float32", block_w=16, block_h=16,
+                      gt=(0.0, 2.0, 0.0, 60.0, 0.0, -2.0))
+    tiles = synth_raster(spark, meta)
+    full = tiles_to_array(tiles, meta)
+    out, out_meta = T.translate(
+        tiles, meta, src_win=(4, 2, 32, 24), out_size=(16, 12),
+        out_dtype="uint8", scale=(0.0, 1000.0, 0.0, 255.0),
+    )
+    got = tiles_to_array(out, out_meta)
+    want = T.translate_np(
+        full, meta, src_win=(4, 2, 32, 24), out_size=(16, 12),
+        out_dtype="uint8", scale=(0.0, 1000.0, 0.0, 255.0),
+    )
+    assert got.shape == (12, 16)
+    assert (got == want).all()
+    # geotransform: origin shifted by window, res scaled 2x
+    assert out_meta.gt[0] == 8.0 and out_meta.gt[1] == 4.0
+
+
+def test_raster_calc_band_algebra(spark):
+    meta = RasterMeta(width=32, height=16, dtype="float32", block_w=16, block_h=16)
+    a = synth_raster(spark, meta, seed=1)
+    b = synth_raster(spark, meta, seed=2)
+    fa = tiles_to_array(a, meta)
+    fb = tiles_to_array(b, meta)
+    out = T.raster_calc({"a": a, "b": b}, meta, lambda d: (d["a"] + d["b"]) / 2.0)
+    out_meta = RasterMeta(width=32, height=16, dtype="float64", block_w=16, block_h=16)
+    got = tiles_to_array(out, out_meta)
+    want = (fa.astype(np.float64) + fb.astype(np.float64)) / 2.0
+    np.testing.assert_allclose(got, want, rtol=1e-12)
