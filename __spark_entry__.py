@@ -756,6 +756,103 @@ def _oracle_overview_checksum() -> str:
 _lazy_oracle("raster_overview_checksum", _oracle_overview_checksum)
 
 
+# -- 7b. OGR SQL dialect + vector pipeline ----------------------------------
+
+@_register(
+    "ogr_sql_distinct",
+    "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+)
+def q_ogr_sql_distinct(spark, sf_dir):
+    from gdal_spark.operators.ogr_sql import execute_sql
+
+    out = execute_sql(
+        spark,
+        "select distinct o_orderpriority from orders",
+        {"orders": _t(spark, sf_dir, "orders")},
+        {"orders": "o_orderkey"},
+    )
+    return out.orderBy("o_orderpriority")
+
+
+@_register(
+    "ogr_sql_where_summary",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(MIN(o_orderkey) AS BIGINT) AS mn,
+           CAST(MAX(o_orderkey) AS BIGINT) AS mx
+    FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus IN ('F', 'O')
+    """,
+)
+def q_ogr_sql_where_summary(spark, sf_dir):
+    from gdal_spark.operators.ogr_sql import execute_sql
+
+    return execute_sql(
+        spark,
+        "select count(*) as cnt, min(o_orderkey) as mn, max(o_orderkey) as mx "
+        "from orders where o_orderkey % 3 = 0 and o_orderstatus in ('F', 'O')",
+        {"orders": _t(spark, sf_dir, "orders")},
+        {"orders": "o_orderkey"},
+    )
+
+
+def _vp_clip_oracle() -> str:
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from fixtures_poly import POLY_ATTRS, poly_rings
+
+    from gdal_spark.geometry import kernels, ops
+
+    # clip rect chosen to cut several parcels
+    rect = (478000.0, 4762000.0, 480500.0, 4765000.0)
+    rows = []
+    for rings, (_, eas, _) in zip(poly_rings(), POLY_ATTRS):
+        r = ops.clip_polygon_convex(
+            rings[0],
+            np.array(
+                [
+                    [rect[0], rect[1]], [rect[2], rect[1]],
+                    [rect[2], rect[3]], [rect[0], rect[3]], [rect[0], rect[1]],
+                ]
+            ),
+        )
+        if len(r):
+            a = kernels.ring_area(r)
+            rows.append(f"({eas}, {int(np.floor(a + 0.5))})")
+    return (
+        "SELECT CAST(eas_id AS BIGINT) AS eas_id, CAST(area_m AS BIGINT) AS area_m "
+        f"FROM (VALUES {', '.join(rows)}) t(eas_id, area_m) ORDER BY eas_id"
+    )
+
+
+@_register("vector_pipeline_clip")
+def q_vector_pipeline_clip(spark, sf_dir):
+    """ogr2ogr-style chain: clip the reference polygons to a rect and
+    measure remaining areas (oracle = the same NumPy convex clip)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from fixtures_poly import POLY_ATTRS, poly_rings
+
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.geometry import wkb as _wkb
+    from gdal_spark.operators.vector_pipeline import VectorPipeline
+
+    df = spark.createDataFrame(
+        [
+            (int(a[1]), bytearray(_wkb.polygon_wkb(p[0], p[1:])))
+            for p, a in zip(poly_rings(), POLY_ATTRS)
+        ],
+        "eas_id LONG, geometry BINARY",
+    )
+    out = VectorPipeline(df).clip_rect(478000.0, 4762000.0, 480500.0, 4765000.0).df
+    return out.select(
+        "eas_id", F.floor(st_area("geometry") + F.lit(0.5)).cast("long").alias("area_m")
+    ).orderBy("eas_id")
+
+
+_lazy_oracle("vector_pipeline_clip", _vp_clip_oracle)
+
+
 # -- 8. layer algebra + ST functions ----------------------------------------
 
 _LA_A = [

@@ -97,17 +97,23 @@ def point_in_polygon_join(
     cover = _cover_df(spark, polyset, zoom)
     cand = pts.join(F.broadcast(cover), on=["__ctx", "__cty"], how="inner")
 
-    # exact refine only for boundary tiles; interior tiles accept directly
+    # exact refine only for boundary tiles; interior-cell rows short-circuit
+    # INSIDE the UDF (Spark evaluates ArrowEvalPython before the filter, so
+    # a CASE outside the UDF would still ray-cast every candidate — the
+    # in-batch mask keeps refine cost proportional to polygon perimeter)
     @F.pandas_udf(BooleanType())
-    def _contains(mx: pd.Series, my: pd.Series, pidx: pd.Series) -> pd.Series:
-        mask = polyset.contains(mx.to_numpy(), my.to_numpy(), pidx.to_numpy())
-        return pd.Series(mask)
+    def _contains(mx: pd.Series, my: pd.Series, pidx: pd.Series, full: pd.Series) -> pd.Series:
+        fm = full.to_numpy(dtype=bool)
+        out = fm.copy()
+        part = ~fm
+        if part.any():
+            out[part] = polyset.contains(
+                mx.to_numpy()[part], my.to_numpy()[part], pidx.to_numpy()[part]
+            )
+        return pd.Series(out)
 
     hit = cand.withColumn(
-        "__hit",
-        F.when(F.col("__full"), F.lit(True)).otherwise(
-            _contains(F.col("mx"), F.col("my"), F.col("__pidx"))
-        ),
+        "__hit", _contains(F.col("mx"), F.col("my"), F.col("__pidx"), F.col("__full"))
     ).filter(F.col("__hit"))
     return hit.drop("__ctx", "__cty", "__pidx", "__full", "__hit", "mx", "my")
 

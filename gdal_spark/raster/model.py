@@ -113,10 +113,11 @@ def synth_block_np(bx: int, by: int, h: int, w: int, meta: RasterMeta, seed: int
 def synth_raster(spark: SparkSession, meta: RasterMeta, band: int = 1, seed: int = 42) -> DataFrame:
     """Distributed deterministic raster: one task per group of blocks; block
     content generated executor-side (no driver materialization)."""
+    n_blocks = meta.blocks_x * meta.blocks_y
     blocks = spark.createDataFrame(
         [(band, by, bx) for by in range(meta.blocks_y) for bx in range(meta.blocks_x)],
         "band INT, block_y INT, block_x INT",
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).repartition(min(n_blocks, spark.sparkContext.defaultParallelism))
 
     def gen(iterator):
         for pdf in iterator:

@@ -29,10 +29,13 @@ n_pages = int(sys.argv[2])
 spark = get_spark("scaling_%d" % cpus, master="local[%d]" % cpus,
                   shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
-# warm up JIT + Arrow once, then measure
+# warm up JIT + Arrow + python workers once, then measure best-of-3
+# (the sandbox VM time-shares vCPUs; best-of filters host contention)
 flagship_rows_sec(spark, max(n_pages // 10, 10000))
-rps, el = flagship_rows_sec(spark, n_pages)
-print(json.dumps({{"cpus": cpus, "rows_sec": rps, "elapsed": el}}))
+obs = [flagship_rows_sec(spark, n_pages) for _ in range(3)]
+rps, el = max(obs, key=lambda t: t[0])
+print(json.dumps({{"cpus": cpus, "rows_sec": rps, "elapsed": el,
+                   "all_reps": [round(e, 2) for _, e in obs]}}))
 """
 
 
