@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from gdal_spark.raster.halo import padded_blocks
 from gdal_spark.raster.model import RasterMeta, TILES_SCHEMA
@@ -95,6 +95,44 @@ def tpi_np(pad):
 def roughness_np(pad):
     w = [p.astype(np.float64) for p in _win(pad)]
     return np.max(w, axis=0) - np.min(w, axis=0)
+
+
+def color_relief_np(arr: np.ndarray, ramp: list) -> np.ndarray:
+    """Color relief (gdaldem color-relief, apps/gdaldem_lib.cpp): per-pixel
+    linear interpolation of an (elevation → RGB) ramp; elevations outside
+    the ramp clamp to the end colors. ``ramp``: sorted [(elev, r, g, b)].
+    Returns (h, w, 3) uint8."""
+    e = np.array([r[0] for r in ramp], dtype=np.float64)
+    rgb = np.array([r[1:4] for r in ramp], dtype=np.float64)
+    v = arr.astype(np.float64)
+    idx = np.clip(np.searchsorted(e, v, side="right") - 1, 0, len(e) - 2)
+    e0 = e[idx]
+    e1 = e[idx + 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(e1 > e0, (v - e0) / (e1 - e0), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    out = rgb[idx] + t[..., None] * (rgb[idx + 1] - rgb[idx])
+    return np.floor(out + 0.5).astype(np.uint8)
+
+
+def color_relief(tiles: DataFrame, meta: RasterMeta, ramp: list, band: int = 1) -> DataFrame:
+    """Distributed color relief → 3 tile rows (bands 1..3, uint8) per block."""
+    dtype = meta.dtype
+
+    def compute(iterator):
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = np.frombuffer(r.data, dtype=dtype).reshape(r.h, r.w)
+                rgb = color_relief_np(arr, ramp)
+                for b in range(3):
+                    rows.append(
+                        (b + 1, int(r.block_y), int(r.block_x), int(r.h), int(r.w),
+                         np.ascontiguousarray(rgb[:, :, b]).tobytes())
+                    )
+            yield pd.DataFrame(rows, columns=["band", "block_y", "block_x", "h", "w", "data"])
+
+    return tiles.filter(F.col("band") == band).mapInPandas(compute, TILES_SCHEMA)
 
 
 _ALGS = {

@@ -1,0 +1,119 @@
+"""Hypothesis property tests for the pure kernels (no Spark session —
+fast, wide input coverage). Mirrors the reference's correctness contracts
+rather than its (minimal) property testing."""
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from gdal_spark import tiling
+from gdal_spark.geometry import kernels, wkb, wkt
+from gdal_spark.raster.checksum import checksum_np
+
+finite = st.floats(
+    min_value=-1e7, max_value=1e7, allow_nan=False, allow_infinity=False
+)
+
+
+@given(st.lists(st.tuples(finite, finite), min_size=3, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_wkb_polygon_roundtrip_property(pts):
+    ring = np.asarray(pts, dtype=np.float64)
+    b = wkb.polygon_wkb(ring)
+    name, rings = wkb.parse_wkb(b)
+    assert name == "Polygon"
+    assert np.array_equal(rings[0][:-1], ring) or np.array_equal(rings[0], ring)
+
+
+@given(st.lists(st.tuples(finite, finite), min_size=2, max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_wkt_roundtrip_property(pts):
+    coords = np.asarray(pts, dtype=np.float64)
+    s = wkt.geom_to_wkt("LineString", coords)
+    name, back = wkt.parse_wkt(s)
+    assert name == "LineString"
+    np.testing.assert_allclose(back, coords, rtol=1e-14)
+
+
+@given(
+    st.floats(min_value=-179.99, max_value=179.99),
+    st.floats(min_value=-83.9, max_value=83.9),
+    st.integers(min_value=0, max_value=20),
+)
+@settings(max_examples=300, deadline=None)
+def test_tile_indices_in_range(lon, lat, z):
+    tx, ty = tiling.lonlat_to_tile_np([lon], [lat], z)
+    assert 0 <= tx[0] < (1 << z)
+    assert 0 <= ty[0] < (1 << z)
+    # tms flip is an involution
+    assert tiling.tms_y(tiling.tms_y(ty[0], z), z) == ty[0]
+
+
+@given(
+    st.floats(min_value=-170, max_value=170),
+    st.floats(min_value=-80, max_value=80),
+    st.floats(min_value=0.1, max_value=20.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_point_in_own_square(cx, cy, half):
+    ring = np.array(
+        [
+            [cx - half, cy - half], [cx + half, cy - half],
+            [cx + half, cy + half], [cx - half, cy + half], [cx - half, cy - half],
+        ]
+    )
+    assert kernels.points_in_ring_np([cx], [cy], ring)[0]
+    assert not kernels.points_in_ring_np([cx + 3 * half], [cy], ring)[0]
+    assert kernels.ring_area(ring) == (2 * half) * (2 * half) or np.isclose(
+        kernels.ring_area(ring), 4 * half * half, rtol=1e-9
+    )
+
+
+@given(st.integers(min_value=1, max_value=40), st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_checksum_partials_sum_to_whole(h, w, seed):
+    """Block partials with globally-phased primes must reassemble to the
+    whole-image checksum for ANY split point."""
+    from gdal_spark.raster.checksum import block_partial
+    from gdal_spark.raster.model import RasterMeta
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    meta = RasterMeta(width=w, height=h, dtype="uint8",
+                      block_w=max(1, w // 2), block_h=max(1, h // 2))
+    total = 0
+    for by in range(meta.blocks_y):
+        for bx in range(meta.blocks_x):
+            bh, bw = meta.block_shape(bx, by)
+            blk = arr[by * meta.block_h : by * meta.block_h + bh,
+                      bx * meta.block_w : bx * meta.block_w + bw]
+            total += block_partial(blk, bx, by, meta)
+    assert total % 65536 == checksum_np(arr)
+
+
+@given(st.lists(st.tuples(finite, finite), min_size=4, max_size=20),
+       st.floats(min_value=0.0, max_value=100.0))
+@settings(max_examples=100, deadline=None)
+def test_simplify_keeps_endpoints_and_subset(pts, tol):
+    from gdal_spark.geometry import ops
+
+    line = np.asarray(pts, dtype=np.float64)
+    out = ops.simplify_ring(line, tol)
+    assert np.array_equal(out[0], line[0])
+    assert np.array_equal(out[-1], line[-1])
+    # every output vertex is an input vertex
+    in_set = {tuple(p) for p in line}
+    assert all(tuple(p) in in_set for p in out)
+
+
+@given(st.lists(st.tuples(finite, finite), min_size=2, max_size=10),
+       st.floats(min_value=0.5, max_value=1000.0))
+@settings(max_examples=100, deadline=None)
+def test_segmentize_respects_max_len(pts, max_len):
+    from gdal_spark.geometry import ops
+
+    line = np.asarray(pts, dtype=np.float64)
+    out = ops.segmentize_line(line, max_len)
+    if len(out) > 1:
+        seg = np.sqrt(((out[1:] - out[:-1]) ** 2).sum(axis=1))
+        assert (seg <= max_len * (1 + 1e-9)).all()
+    assert np.array_equal(out[0], line[0]) and np.array_equal(out[-1], line[-1])
