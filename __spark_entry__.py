@@ -206,7 +206,9 @@ def q_knn_cell_join(spark, sf_dir):
         F.expr(tiling.mercator_x_sql(sql_oracle.lon_sql("c_custkey"))).alias("x"),
         F.expr(tiling.mercator_y_sql(sql_oracle.lat_sql("c_custkey"))).alias("y"),
     )
-    out = knn_join(sup, cust, k=3, zoom=4, radius=1, max_rounds=5)
+    # radius=2 at zoom 4 finalizes nearly all queries in round 1 (bound =
+    # 2 cells ≈ 5000 km); the doubling loop remains the exactness net
+    out = knn_join(sup, cust, k=3, zoom=4, radius=2, max_rounds=4, broadcast_neighbors=True)
     return out.select(
         "qid",
         "nid",
@@ -1148,6 +1150,172 @@ def _oracle_polygonize() -> str:
 
 
 _lazy_oracle("polygonize_regions", _oracle_polygonize)
+
+
+# -- 10. raster analysis ops -------------------------------------------------
+
+@_register("contour_segments")
+def q_contour_segments(spark, sf_dir):
+    from gdal_spark.raster.analysis import contour_segments
+    from gdal_spark.raster.model import RasterMeta, synth_raster
+
+    meta = RasterMeta(width=30, height=20, dtype="float32", block_w=10, block_h=10)
+    out = contour_segments(synth_raster(spark, meta), meta, [250.0, 500.0])
+    return out.select(
+        F.floor(F.col("level")).cast("long").alias("level"),
+        F.floor(F.col("x0") * 1_000_000 + F.lit(0.5)).cast("long").alias("x0_e6"),
+        F.floor(F.col("y0") * 1_000_000 + F.lit(0.5)).cast("long").alias("y0_e6"),
+        F.floor(F.col("x1") * 1_000_000 + F.lit(0.5)).cast("long").alias("x1_e6"),
+        F.floor(F.col("y1") * 1_000_000 + F.lit(0.5)).cast("long").alias("y1_e6"),
+    ).orderBy("level", "x0_e6", "y0_e6", "x1_e6", "y1_e6")
+
+
+def _oracle_contour() -> str:
+    from gdal_spark.raster.analysis import contour_segments_np
+    from gdal_spark.raster.model import RasterMeta, synth_block_np
+
+    meta = RasterMeta(width=30, height=20, dtype="float32", block_w=10, block_h=10)
+    full = np.zeros((20, 30), dtype="float32")
+    for by in range(meta.blocks_y):
+        for bx in range(meta.blocks_x):
+            h, w = meta.block_shape(bx, by)
+            full[by * 10 : by * 10 + h, bx * 10 : bx * 10 + w] = synth_block_np(bx, by, h, w, meta)
+    segs = contour_segments_np(full, [250.0, 500.0])
+    rows = ", ".join(
+        f"({int(l)}, {int(np.floor(a * 1e6 + 0.5))}, {int(np.floor(b * 1e6 + 0.5))}, "
+        f"{int(np.floor(c * 1e6 + 0.5))}, {int(np.floor(d * 1e6 + 0.5))})"
+        for l, a, b, c, d in segs
+    )
+    return (
+        "SELECT CAST(level AS BIGINT) AS level, CAST(x0_e6 AS BIGINT) AS x0_e6, "
+        "CAST(y0_e6 AS BIGINT) AS y0_e6, CAST(x1_e6 AS BIGINT) AS x1_e6, "
+        "CAST(y1_e6 AS BIGINT) AS y1_e6 "
+        f"FROM (VALUES {rows}) t(level, x0_e6, y0_e6, x1_e6, y1_e6) "
+        "ORDER BY level, x0_e6, y0_e6, x1_e6, y1_e6"
+    )
+
+
+_lazy_oracle("contour_segments", _oracle_contour)
+
+
+def _prox_fixture():
+    arr = np.zeros((18, 24), dtype=np.uint8)
+    arr[3, 4] = 7
+    arr[15, 20] = 7
+    arr[9, 12] = 3
+    return arr
+
+
+@_register("proximity_checksum")
+def q_proximity_checksum(spark, sf_dir):
+    from gdal_spark.raster.analysis import proximity
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array
+
+    meta = RasterMeta(width=24, height=18, dtype="uint8", block_w=8, block_h=6)
+    tiles = tiles_from_array(spark, _prox_fixture(), meta)
+    out_meta = RasterMeta(width=24, height=18, dtype="float64", block_w=8, block_h=6)
+    cs = checksum_df(proximity(tiles, meta, [7, 3], max_dist=10.0), out_meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_proximity() -> str:
+    from gdal_spark.raster.analysis import proximity_np
+    from gdal_spark.raster.checksum import checksum_np
+
+    return f"SELECT CAST({checksum_np(proximity_np(_prox_fixture(), [7, 3], 10.0))} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("proximity_checksum", _oracle_proximity)
+
+
+def _fill_fixture():
+    rng = np.random.default_rng(13)
+    arr = rng.uniform(10, 20, (16, 24))
+    arr[5:8, 6:10] = -999.0
+    arr[0:2, 0:3] = -999.0
+    return arr
+
+
+@_register("fillnodata_checksum")
+def q_fillnodata_checksum(spark, sf_dir):
+    from gdal_spark.raster.analysis import fillnodata
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array
+
+    meta = RasterMeta(width=24, height=16, dtype="float64", block_w=8, block_h=8)
+    tiles = tiles_from_array(spark, _fill_fixture(), meta)
+    cs = checksum_df(fillnodata(tiles, meta, -999.0, max_distance=5), meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_fill() -> str:
+    from gdal_spark.raster.analysis import fillnodata_np
+    from gdal_spark.raster.checksum import checksum_np
+
+    return f"SELECT CAST({checksum_np(fillnodata_np(_fill_fixture(), -999.0, 5))} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("fillnodata_checksum", _oracle_fill)
+
+
+@_register("translate_checksum")
+def q_translate_checksum(spark, sf_dir):
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import synth_raster
+    from gdal_spark.raster.translate import translate
+
+    meta = _terrain_meta()
+    tiles = synth_raster(spark, meta)
+    out, out_meta = translate(
+        tiles, meta, src_win=(8, 4, 64, 48), out_size=(32, 24),
+        out_dtype="uint8", scale=(0.0, 1000.0, 0.0, 255.0),
+    )
+    cs = checksum_df(out, out_meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_translate() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.translate import translate_np
+
+    full, meta = _terrain_full_np()
+    img = translate_np(full, meta, src_win=(8, 4, 64, 48), out_size=(32, 24),
+                       out_dtype="uint8", scale=(0.0, 1000.0, 0.0, 255.0))
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("translate_checksum", _oracle_translate)
+
+
+_RAMP = [(0.0, 0, 0, 255), (500.0, 0, 255, 0), (1000.0, 255, 0, 0)]
+
+
+@_register("color_relief_checksum")
+def q_color_relief_checksum(spark, sf_dir):
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.dem import color_relief
+    from gdal_spark.raster.model import RasterMeta, synth_raster
+
+    meta = _terrain_meta()
+    out = color_relief(synth_raster(spark, meta), meta, _RAMP)
+    out_meta = RasterMeta(width=meta.width, height=meta.height, dtype="uint8",
+                          block_w=meta.block_w, block_h=meta.block_h)
+    total = sum(checksum_df(out, out_meta, band=b) for b in (1, 2, 3))
+    return spark.createDataFrame([(int(total),)], "checksum BIGINT")
+
+
+def _oracle_color_relief() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.dem import color_relief_np
+
+    full, _ = _terrain_full_np()
+    rgb = color_relief_np(full, _RAMP)
+    total = sum(checksum_np(rgb[:, :, b]) for b in range(3))
+    return f"SELECT CAST({total} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("color_relief_checksum", _oracle_color_relief)
 
 
 # ---------------------------------------------------------------------------

@@ -92,6 +92,14 @@ def polygonize_regions(
 ) -> DataFrame:
     """Connected regions of equal value → one row per region:
     (region_id, value DOUBLE, n_pixels, min_x, min_y, max_x, max_y)."""
+    out, _ = _polygonize_with_mapping(tiles, meta, connect8, band)
+    return out
+
+
+def _polygonize_with_mapping(
+    tiles: DataFrame, meta: RasterMeta, connect8: bool = False, band: int = 1
+):
+    """(regions DataFrame, {tile-local label → final root}) pair."""
     dtype = meta.dtype
     bw, bh = meta.block_w, meta.block_h
     nbx = meta.blocks_x
@@ -196,7 +204,7 @@ def polygonize_regions(
         )
     else:
         stats = stats.withColumn("root", F.col("lab"))
-    return (
+    regions = (
         stats.groupBy("root")
         .agg(
             F.first("value").alias("value"),
@@ -208,6 +216,7 @@ def polygonize_regions(
         )
         .withColumnRenamed("root", "region_id")
     )
+    return regions, mapping
 
 
 def polygonize_np(arr: np.ndarray, connect8: bool = False):
@@ -257,3 +266,46 @@ def sieve(
     return tiles.sparkSession.createDataFrame(
         out_rows, "region_id LONG, old_value DOUBLE, new_value DOUBLE"
     )
+
+
+def sieve_apply(
+    tiles: DataFrame, meta: RasterMeta, threshold: int,
+    connect8: bool = False, band: int = 1,
+) -> DataFrame:
+    """Apply the sieve relabel to pixels → filtered tiles DataFrame.
+
+    Re-derives the deterministic per-tile CCL labels, resolves each to
+    its cross-tile root, and rewrites values via the relabel table — the
+    distributed form of GDALSieveFilter's in-place relabel pass.
+    """
+    relabel = {
+        r.region_id: r.new_value
+        for r in sieve(tiles, meta, threshold, connect8, band).collect()
+    }
+    _, mapping = _polygonize_with_mapping(tiles, meta, connect8, band)
+    label_new = {}
+    for lab, root in mapping.items():
+        if root in relabel:
+            label_new[lab] = relabel[root]
+    label_new.update(relabel)
+    dtype = meta.dtype
+    nbx = meta.blocks_x
+
+    def rewrite(iterator):
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = np.frombuffer(r.data, dtype=dtype).reshape(r.h, r.w)
+                bx, by = int(r.block_x), int(r.block_y)
+                tile_id = by * nbx + bx
+                lab = _ccl_np(arr, connect8) + (np.int64(tile_id) << 32)
+                out = arr.astype(np.float64).copy()
+                for u in np.unique(lab):
+                    nv = label_new.get(int(u))
+                    if nv is not None:
+                        out[lab == u] = nv
+                rows.append((int(r.band), by, bx, int(r.h), int(r.w),
+                             out.astype(dtype).tobytes()))
+            yield pd.DataFrame(rows, columns=["band", "block_y", "block_x", "h", "w", "data"])
+
+    return tiles.filter(F.col("band") == band).mapInPandas(rewrite, TILES_SCHEMA)

@@ -126,6 +126,52 @@ def test_count_distinct_only_rule(spark, layers):
         _run(spark, layers, "select sum(distinct eas_id) from poly")
 
 
+def test_spatial_filter_golden(spark):
+    """ExecuteSQL with a spatial filter rect: ogr_basic_test.py:90-131's
+    rect selects exactly 1 of the 10 poly.shp features."""
+    from fixtures_poly import POLY_ATTRS, poly_rings
+    from gdal_spark.geometry import wkb as _wkb
+
+    poly = spark.createDataFrame(
+        [
+            (i, int(a[1]), bytearray(_wkb.polygon_wkb(p[0], p[1:])))
+            for i, (p, a) in enumerate(zip(poly_rings(), POLY_ATTRS))
+        ],
+        "fid INT, eas_id INT, geometry BINARY",
+    )
+    got = execute_sql(
+        spark,
+        "select eas_id from poly",
+        {"poly": poly},
+        {"poly": "fid"},
+        spatial_filter=(479405.0, 4762826.0, 480732.0, 4763590.0),
+    ).collect()
+    assert len(got) == 1
+    # clearing the filter returns all 10 (reference asserts both)
+    assert execute_sql(spark, "select eas_id from poly", {"poly": poly}, {"poly": "fid"}).count() == 10
+
+
+def test_ogr_geom_area_special_field(spark):
+    from fixtures_poly import POLY_ATTRS, poly_rings
+    from gdal_spark.geometry import wkb as _wkb
+
+    poly = spark.createDataFrame(
+        [
+            (i, int(a[1]), bytearray(_wkb.polygon_wkb(p[0], p[1:])))
+            for i, (p, a) in enumerate(zip(poly_rings(), POLY_ATTRS))
+        ],
+        "fid INT, eas_id INT, geometry BINARY",
+    )
+    got = execute_sql(
+        spark,
+        "select eas_id from poly where OGR_GEOM_AREA > 500000 order by eas_id",
+        {"poly": poly},
+        {"poly": "fid"},
+    ).collect()
+    want = sorted(a[1] for a in POLY_ATTRS if abs(a[0]) > 500000)
+    assert [r.eas_id for r in got] == want
+
+
 def test_three_valued_null(spark):
     t = spark.createDataFrame(
         [(1, 10), (2, None), (3, 30)], "k INT, v INT"

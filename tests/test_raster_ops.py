@@ -140,6 +140,18 @@ def test_sieve_relabels_small_regions(spark):
     assert any(old == 0.0 and new == 0.0 for old, new in m.values())
 
 
+def test_sieve_apply_rewrites_pixels(spark):
+    meta = RasterMeta(width=12, height=10, dtype="uint8", block_w=6, block_h=5)
+    arr = np.zeros((10, 12), dtype=np.uint8)
+    arr[4:6, 5:7] = 5   # small island CROSSING tile boundaries
+    arr[0:8, 9:12] = 9  # large region, kept
+    tiles = tiles_from_array(spark, arr, meta)
+    out = tiles_to_array(polygonize.sieve_apply(tiles, meta, threshold=5), meta)
+    assert (out[4:6, 5:7] == 0).all()       # island absorbed into background
+    assert (out[0:8, 9:12] == 9).all()      # large region untouched
+    assert (out == arr)[arr == 0].all()     # background untouched
+
+
 @pytest.mark.parametrize("alg", ["near", "bilinear", "cubic"])
 def test_warp_affine_matches_oracle(spark, alg):
     src_meta = RasterMeta(width=40, height=30, dtype="float32", block_w=16, block_h=16,
