@@ -855,6 +855,66 @@ def q_vector_pipeline_clip(spark, sf_dir):
 _lazy_oracle("vector_pipeline_clip", _vp_clip_oracle)
 
 
+# -- 7c. temporal: as-of join + sessionization -------------------------------
+
+@_register(
+    "asof_join_events_orders",
+    """
+    WITH r AS (
+      SELECT o_custkey % 50 AS k, o_orderdate AS rts, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2),
+    l AS (SELECT event_id, user_id % 50 AS k, ts FROM events WHERE event_id < 3000)
+    SELECT l.event_id, CAST(r.o_orderkey AS BIGINT) AS o_orderkey
+    FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.rts
+    ORDER BY l.event_id
+    """,
+)
+def q_asof_join_events_orders(spark, sf_dir):
+    from gdal_spark.operators.temporal import asof_join
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", (F.col("user_id") % 50).alias("k"), "ts")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy((F.col("o_custkey") % 50).alias("k"), F.col("o_orderdate").alias("ts"))
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join(ev, orders, key="k", left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id", F.col("o_orderkey").cast("long").alias("o_orderkey")
+    ).orderBy("event_id")
+
+
+@_register(
+    "events_sessionize",
+    """
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+             AS session_id
+    FROM s ORDER BY event_id
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    from gdal_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800, tiebreak="event_id")
+    return out.select(
+        "event_id", F.col("session_id").cast("long").alias("session_id")
+    ).orderBy("event_id")
+
+
 # -- 8. layer algebra + ST functions ----------------------------------------
 
 _LA_A = [
