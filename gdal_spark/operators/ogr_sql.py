@@ -368,7 +368,18 @@ def _execute_single(spark, sql, tables, fid_cols) -> DataFrame:
     sel = []
     while True:
         if p.accept_op("*"):
-            sel.append((("star",), None))
+            # SELECT * EXCEPT (a, b) — swq_parser.y:866 (SWQT_EXCEPT)
+            if p.accept_kw("EXCEPT"):
+                if not p.accept_op("("):
+                    raise ValueError("EXCEPT needs (")
+                excl = [p.take()[1]]
+                while p.accept_op(","):
+                    excl.append(p.take()[1])
+                if not p.accept_op(")"):
+                    raise ValueError("EXCEPT needs )")
+                sel.append((("star_except", excl), None))
+            else:
+                sel.append((("star",), None))
         else:
             e = p.expr()
             alias = None
@@ -467,6 +478,14 @@ def _execute_single(spark, sql, tables, fid_cols) -> DataFrame:
             from gdal_spark.functions.st import st_area
 
             return st_area("geometry")
+        if up == "OGR_GEOMETRY":  # geometry type name (ogr/ogr_p.h:166)
+            from gdal_spark.functions.st import st_geometrytype
+
+            return st_geometrytype("geometry")
+        if up == "OGR_GEOM_WKT":
+            from gdal_spark.functions.st import st_astext
+
+            return st_astext("geometry")
         return F.col(name)
 
     if where is not None:
@@ -514,6 +533,10 @@ def _execute_single(spark, sql, tables, fid_cols) -> DataFrame:
             out = out.limit(limit)
         return out
     else:
+        if len(sel) == 1 and sel[0][0][0] == "star_except":
+            return _finish(
+                df.drop(*sel[0][0][1]), order, offset, limit
+            )
         cols = []
         for k, (e, alias) in enumerate(sel):
             if e == ("star",):
@@ -523,7 +546,11 @@ def _execute_single(spark, sql, tables, fid_cols) -> DataFrame:
                 cols.append(_compile_expr(e, resolve).alias(alias or default))
         out = df.select(*cols)
 
-    if order and not distinct:
+    return _finish(out, order, offset, limit)
+
+
+def _finish(out, order, offset, limit):
+    if order:
         out = out.orderBy(*[F.col(c).desc() if d else F.col(c).asc() for c, d in order])
     if offset:
         out = out.offset(offset)
