@@ -45,12 +45,24 @@ def _with_lonlat(df: DataFrame, key: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: pages-style spatial pipeline over sf0.001 customers —
-    derive geotag points, assign WebMercator tiles, PIP-join against the
-    broadcast polygon fixture, count pages per polygon."""
-    pts = _with_lonlat(_t(spark, SF001, "customer"), "c_custkey")
-    tiled = assign_tiles(pts, zoom=8)
-    return pip_counts(tiled, fixture_polyset(), zoom=6).orderBy("poly_id")
+    """Flagship: the north-rule pages pipeline at smoke scale — synth
+    Common-Crawl-style pages, extract geotags (JVM regexp), assign
+    WebMercator z12 tiles, PIP-join against the broadcast polygon
+    fixture, count pages per polygon. Also sanity-joins the sf0.001
+    customer table as a second point source."""
+    from gdal_spark.pages import extract_geotags, synth_pages
+
+    pages = synth_pages(spark, 20_000)
+    pts = extract_geotags(pages).select("lon", "lat")
+    tiled = assign_tiles(pts, zoom=12)
+    page_counts = pip_counts(tiled, fixture_polyset(), zoom=6)
+    cust = _with_lonlat(_t(spark, SF001, "customer"), "c_custkey")
+    cust_counts = pip_counts(cust, fixture_polyset(), zoom=6)
+    return (
+        page_counts.withColumnRenamed("n_points", "n_pages")
+        .join(cust_counts.withColumnRenamed("n_points", "n_customers"), "poly_id", "left")
+        .orderBy("poly_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1376,6 +1388,54 @@ def _oracle_color_relief() -> str:
 
 
 _lazy_oracle("color_relief_checksum", _oracle_color_relief)
+
+
+@_register("zonal_stats")
+def q_zonal_stats(spark, sf_dir):
+    from gdal_spark.raster.model import RasterMeta, synth_raster, tiles_from_array
+    from gdal_spark.raster.zonal import zonal_stats
+
+    meta = RasterMeta(width=32, height=24, dtype="float32", block_w=16, block_h=12)
+    zmeta = RasterMeta(width=32, height=24, dtype="uint8", block_w=16, block_h=12)
+    zones_arr = (np.indices((24, 32)).sum(axis=0) // 10 % 4).astype(np.uint8)
+    out = zonal_stats(
+        synth_raster(spark, meta, seed=3), tiles_from_array(spark, zones_arr, zmeta), meta, zmeta
+    )
+    return out.select(
+        F.floor("zone").cast("long").alias("zone"),
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("min") * 1000 + F.lit(0.5)).cast("long").alias("min_e3"),
+        F.floor(F.col("max") * 1000 + F.lit(0.5)).cast("long").alias("max_e3"),
+        F.floor(F.col("mean") * 1000 + F.lit(0.5)).cast("long").alias("mean_e3"),
+    ).orderBy("zone")
+
+
+def _oracle_zonal() -> str:
+    from gdal_spark.raster.model import RasterMeta, synth_block_np
+    from gdal_spark.raster.zonal import zonal_stats_np
+
+    meta = RasterMeta(width=32, height=24, dtype="float32", block_w=16, block_h=12)
+    full = np.zeros((24, 32), dtype="float32")
+    for by in range(meta.blocks_y):
+        for bx in range(meta.blocks_x):
+            h, w = meta.block_shape(bx, by)
+            full[by * 12 : by * 12 + h, bx * 16 : bx * 16 + w] = synth_block_np(bx, by, h, w, meta, seed=3)
+    zones_arr = (np.indices((24, 32)).sum(axis=0) // 10 % 4).astype(np.uint8)
+    rows = []
+    for z, (n, mn, mx, mean, _) in sorted(zonal_stats_np(full, zones_arr).items()):
+        rows.append(
+            f"({int(z)}, {n}, {int(np.floor(mn * 1000 + 0.5))}, "
+            f"{int(np.floor(mx * 1000 + 0.5))}, {int(np.floor(mean * 1000 + 0.5))})"
+        )
+    return (
+        "SELECT CAST(zone AS BIGINT) AS zone, CAST(n AS BIGINT) AS n, "
+        "CAST(min_e3 AS BIGINT) AS min_e3, CAST(max_e3 AS BIGINT) AS max_e3, "
+        "CAST(mean_e3 AS BIGINT) AS mean_e3 "
+        f"FROM (VALUES {', '.join(rows)}) t(zone, n, min_e3, max_e3, mean_e3) ORDER BY zone"
+    )
+
+
+_lazy_oracle("zonal_stats", _oracle_zonal)
 
 
 # ---------------------------------------------------------------------------

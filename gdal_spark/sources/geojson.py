@@ -31,6 +31,16 @@ def geojson_geometry_to_wkb(geom: dict) -> bytes | None:
         return None
     t = geom["type"]
     c = geom.get("coordinates")
+    # spark.read.json stringifies mixed-depth coordinate arrays (at any
+    # nesting level) when geometry types are heterogeneous — deep-parse
+    def _norm(v):
+        if isinstance(v, str):
+            return _norm(json.loads(v))
+        if isinstance(v, (list, tuple)):
+            return [_norm(x) for x in v]
+        return v
+
+    c = _norm(c)
     import numpy as np
 
     if t == "Point":
