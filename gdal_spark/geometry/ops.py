@@ -617,8 +617,10 @@ def segmentize_line(coords: np.ndarray, max_len: float) -> np.ndarray:
         d = float(np.hypot(*(b - a)))
         k = int(np.ceil(d / max_len)) if d > max_len else 1
         if k > 1:
-            t = np.linspace(0, 1, k + 1)[1:]
-            out.append(a + t[:, None] * (b - a))
+            t = np.linspace(0, 1, k + 1)[1:-1]
+            mid = a + t[:, None] * (b - a)
+            # exact endpoint: a + 1.0*(b-a) can drift a ulp off b
+            out.append(np.vstack([mid, b[None, :]]))
         else:
             out.append(b[None, :])
     return np.vstack(out)

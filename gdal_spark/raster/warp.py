@@ -25,7 +25,83 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from gdal_spark.raster.model import RasterMeta, TILES_SCHEMA
-from gdal_spark.raster.resample import KERNELS, interpolate_at_point_np
+from gdal_spark.raster.resample import (
+    bilinear_kernel,
+    cubic_kernel,
+    cubic_spline_kernel,
+    interpolate_at_point_np,
+    lanczos_kernel,
+)
+
+
+def warp_sample_np(arr, px, py, alg, vx0, vy0, vx1, vy1):
+    """GDALWarpKernel-style sampling at fractional pixel coords.
+
+    Unlike interpolate-at-point (which drags edge pixels outward,
+    alg/gdal_interpolateatpoint.cpp), the warp kernels DROP taps outside
+    the valid source region and renormalize the remaining weights
+    (GWKBilinear/Cubic/LanczosSinc, alg/gdalwarpkernel.cpp) — verified
+    bit-for-match against autotest ref_data/testgdalwarp11-14.tif.
+
+    (vx0, vy0)-(vx1, vy1): the valid source-pixel index range (exclusive
+    upper) in ``arr``'s coordinate system.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    a = arr.astype(np.float64)
+    if alg == "near":
+        ix = np.clip(np.floor(px).astype(np.int64), vx0, vx1 - 1)
+        iy = np.clip(np.floor(py).astype(np.int64), vy0, vy1 - 1)
+        return a[iy, ix]
+    spec = {
+        "bilinear": (bilinear_kernel, 1),
+        "cubic": (cubic_kernel, 2),
+        "cubicspline": (cubic_spline_kernel, 2),
+        "lanczos": (lanczos_kernel, 3),
+    }[alg]
+    kf, radius = spec
+    dfx = px - 0.5
+    dfy = py - 0.5
+    dx = np.floor(dfx).astype(np.int64)
+    dy = np.floor(dfy).astype(np.int64)
+    if alg == "cubic":
+        # GWKCubicResampleNoMasks falls back to BILINEAR at image borders
+        # (gdalwarpkernel.cpp:3339-3343) rather than renormalizing
+        edge = (
+            (dx - 1 < vx0) | (dx + 2 >= vx1) | (dy - 1 < vy0) | (dy + 2 >= vy1)
+        )
+        if edge.any():
+            out = np.empty(len(px))
+            out[~edge] = warp_sample_np(
+                arr, px[~edge], py[~edge], "cubic", vx0, vy0, vx1, vy1
+            ) if (~edge).any() else 0.0
+            out[edge] = warp_sample_np(
+                arr, px[edge], py[edge], "bilinear", vx0, vy0, vx1, vy1
+            )
+            return out
+    delx = dfx - dx
+    dely = dfy - dy
+    num = np.zeros(len(px))
+    den = np.zeros(len(px))
+    for ki in range(2 * radius):
+        off_y = ki - radius + 1
+        wy = kf(off_y - dely)
+        yy = dy + off_y
+        yok = (yy >= vy0) & (yy < vy1)
+        yc = np.clip(yy, vy0, vy1 - 1)
+        for kj in range(2 * radius):
+            off_x = kj - radius + 1
+            wx = kf(off_x - delx)
+            xx = dx + off_x
+            xok = (xx >= vx0) & (xx < vx1)
+            xc = np.clip(xx, vx0, vx1 - 1)
+            w = np.where(yok & xok, wx * wy, 0.0)
+            num += a[yc, xc] * w
+            den += w
+    out = np.zeros(len(px))
+    nz = den != 0
+    out[nz] = num[nz] / den[nz]
+    return out
 
 
 def _dst_px_to_src_px(dst_meta: RasterMeta, src_meta: RasterMeta, px, py):
@@ -44,7 +120,7 @@ def warp_affine(
 ) -> DataFrame:
     """Warp src raster onto the dst grid; returns float64 dst tiles."""
     sbw, sbh = src_meta.block_w, src_meta.block_h
-    halo = {"near": 1, "bilinear": 2, "cubic": 3, "cubicspline": 3, "lanczos": 4}[alg]
+    halo = {"near": 2, "bilinear": 2, "cubic": 3, "cubicspline": 3, "lanczos": 4}[alg]
     spark = src_tiles.sparkSession
 
     # dst block list with the source-block ranges each needs
@@ -116,14 +192,16 @@ def warp_affine(
                 sx, sy = _dst_px_to_src_px(
                     dst_meta, src_meta, dx.ravel() + 0.5, dy.ravel() + 0.5
                 )
-                # sample within the window's local pixel coords
-                vals, valid = interpolate_at_point_np(
-                    win, sx - wx0, sy - wy0, alg
+                # sample within the window's local pixel coords; valid
+                # source bounds (raster ∩ window) in local coords
+                vals = warp_sample_np(
+                    win, sx - wx0, sy - wy0, alg,
+                    0 - min(wx0, 0), 0 - min(wy0, 0),
+                    wx1 - wx0, wy1 - wy0,
                 )
                 in_src = (sx >= 0) & (sx <= src_meta.width) & (sy >= 0) & (sy <= src_meta.height)
                 res = np.full(len(sx), init)
-                ok = valid & in_src
-                res[ok] = vals[ok]
+                res[in_src] = vals[in_src]
                 out = res.reshape(h, w)
         return pd.DataFrame(
             [(band, dby, dbx, h, w, out.tobytes())],
@@ -141,9 +219,8 @@ def warp_affine_np(
     h, w = dst_meta.height, dst_meta.width
     dy, dx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     sx, sy = _dst_px_to_src_px(dst_meta, src_meta, dx.ravel() + 0.5, dy.ravel() + 0.5)
-    vals, valid = interpolate_at_point_np(src, sx, sy, alg)
+    vals = warp_sample_np(src, sx, sy, alg, 0, 0, src_meta.width, src_meta.height)
     in_src = (sx >= 0) & (sx <= src_meta.width) & (sy >= 0) & (sy <= src_meta.height)
     out = np.full(h * w, init)
-    ok = valid & in_src
-    out[ok] = vals[ok]
+    out[in_src] = vals[in_src]
     return out.reshape(h, w)
