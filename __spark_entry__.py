@@ -1107,6 +1107,27 @@ def _oracle_rasterize() -> str:
 _lazy_oracle("rasterize_checksum", _oracle_rasterize)
 
 
+@_register("warp_near2x_golden")
+def q_warp_near2x_golden(spark, sf_dir):
+    """Reference golden: 2x nearest upsample of byte.tif == 18784
+    (autotest/utilities/test_gdalwarp_lib.py:217), distributed path."""
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, byte_fixture, tiles_from_array
+    from gdal_spark.raster.warp import warp_affine
+
+    arr, meta = byte_fixture()
+    meta_blocked = RasterMeta(width=20, height=20, dtype="uint8", block_w=8, block_h=8,
+                              gt=meta.gt)
+    dst = RasterMeta(width=40, height=40, dtype="float64", block_w=40, block_h=40,
+                     gt=(440720.0, 30.0, 0.0, 3751320.0, 0.0, -30.0))
+    out = warp_affine(tiles_from_array(spark, arr, meta_blocked), meta_blocked, dst, alg="near")
+    cs = checksum_df(out, dst)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+_ORACLES["warp_near2x_golden"] = "SELECT CAST(18784 AS BIGINT) AS checksum"
+
+
 @_register("warp_affine_checksum")
 def q_warp_affine_checksum(spark, sf_dir):
     from gdal_spark.raster.checksum import checksum_df
