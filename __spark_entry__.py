@@ -1107,6 +1107,32 @@ def _oracle_rasterize() -> str:
 _lazy_oracle("rasterize_checksum", _oracle_rasterize)
 
 
+@_register("rasterize_lib1_golden")
+def q_rasterize_lib1_golden(spark, sf_dir):
+    """Reference golden: polygon+line burn 220 → checksum 6452
+    (autotest/utilities/test_gdal_rasterize_lib.py:99)."""
+    from gdal_spark.geometry import wkt as _wkt
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta
+    from gdal_spark.raster.rasterize import rasterize
+
+    meta = RasterMeta(width=100, height=100, dtype="float64", block_w=25, block_h=25,
+                      gt=(1000.0, 1.0, 0.0, 1100.0, 0.0, -1.0))
+    feats = spark.createDataFrame(
+        [
+            (0, bytearray(_wkt.wkt_to_wkb(
+                "POLYGON ((1020 1030,1020 1045,1050 1045,1050 1030,1020 1030))")), 220.0),
+            (1, bytearray(_wkt.wkt_to_wkb("LINESTRING (1000 1000,1100 1050)")), 220.0),
+        ],
+        "fid INT, geometry BINARY, burn DOUBLE",
+    )
+    cs = checksum_df(rasterize(feats, meta, fid_col="fid"), meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+_ORACLES["rasterize_lib1_golden"] = "SELECT CAST(6452 AS BIGINT) AS checksum"
+
+
 @_register("warp_near2x_golden")
 def q_warp_near2x_golden(spark, sf_dir):
     """Reference golden: 2x nearest upsample of byte.tif == 18784

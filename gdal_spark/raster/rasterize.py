@@ -91,6 +91,60 @@ def _scanline_burn(
                     img[y - y0, a - x0 : b - x0 + 1] = value
 
 
+def _bresenham_line_burn(img, pts, value, y0, x0, merge_add):
+    """Exact GDALdllImageLine Bresenham (llrasterize.cpp:255+): integer
+    error stepping; intermediate segment endpoints burn once."""
+    h, w = img.shape
+    n = len(pts)
+
+    def put(iy, ix):
+        if y0 <= iy < y0 + h and x0 <= ix < x0 + w:
+            if merge_add:
+                img[iy - y0, ix - x0] += value
+            else:
+                img[iy - y0, ix - x0] = value
+
+    for j in range(1, n):
+        ix = int(np.floor(pts[j - 1][0]))
+        iy = int(np.floor(pts[j - 1][1]))
+        ix1 = int(np.floor(pts[j][0]))
+        iy1 = int(np.floor(pts[j][1]))
+        ndx = abs(ix1 - ix)
+        ndy = abs(iy1 - iy)
+        xstep = -1 if ix > ix1 else 1
+        ystep = -1 if iy > iy1 else 1
+        if ndx >= ndy:
+            xerr = ndy << 1
+            yerr = xerr - (ndx << 1)
+            err = xerr - ndx
+            if j != n - 1:
+                ndx -= 1
+            while ndx >= 0:
+                put(iy, ix)
+                ix += xstep
+                if err > 0:
+                    iy += ystep
+                    err += yerr
+                else:
+                    err += xerr
+                ndx -= 1
+        else:
+            yerr = ndx << 1
+            xerr = yerr - (ndy << 1)
+            err = yerr - ndy
+            if j != n - 1:
+                ndy -= 1
+            while ndy >= 0:
+                put(iy, ix)
+                iy += ystep
+                if err > 0:
+                    ix += xstep
+                    err += xerr
+                else:
+                    err += yerr
+                ndy -= 1
+
+
 def _supercover_burn(img, rings, value, y0, x0, merge_add):
     """ALL_TOUCHED boundary walk: burn every pixel a boundary segment
     passes through (grid-traversal DDA, llrasterize.cpp:383 semantics)."""
@@ -221,11 +275,16 @@ def rasterize(
                     else:
                         img[iy - by * bh, ix - bx * bw] = value
             for line in [l for l in ops._lines_of(geom) if not polys]:
-                line = np.asarray(line, dtype=float)
+                # GDALCollectRingsFromGeometry pushes LineString vertices in
+                # REVERSE order (gdalrasterize.cpp wkbLineString branch) —
+                # the Bresenham phase depends on direction, so match it
+                line = np.asarray(line, dtype=float)[::-1]
                 x, y = meta.geo_to_px(line[:, 0], line[:, 1])
-                _supercover_burn(
-                    img, [np.column_stack([x, y])], value, by * bh, bx * bw, merge_add
-                )
+                pts = np.column_stack([x, y])
+                if all_touched:
+                    _supercover_burn(img, [pts], value, by * bh, bx * bw, merge_add)
+                else:
+                    _bresenham_line_burn(img, pts, value, by * bh, bx * bw, merge_add)
         return pd.DataFrame(
             [(band, by, bx, h, w, img.tobytes())],
             columns=["band", "block_y", "block_x", "h", "w", "data"],
