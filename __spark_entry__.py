@@ -514,17 +514,46 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     ).orderBy("id1", "id2")
 
 
-@_register("dedup_minhash_lsh")  # rows-only: engine-specific xxhash64 inside
+@_register("dedup_minhash_lsh")
 def q_dedup_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_dedup_pairs(d, threshold=0.4).orderBy("id1", "id2")
 
 
-@_register("dedup_simhash")  # rows-only: engine-specific xxhash64 inside
+def _oracle_minhash() -> str:
+    """Independent pure-Python big-int MinHash+LSH (XXH64 spec re-impl) —
+    validates the limb-split (a*h+b) mod 2^61-1 column math end to end."""
+    from gdal_spark.text import ref_impl
+
+    rows = ref_impl.minhash_pairs_ref(ref_impl.load_documents(), threshold=0.4)
+    return ref_impl.values_sql(
+        rows, ["id1", "id2", "est_e6"], ["BIGINT", "BIGINT", "BIGINT"], "id1, id2"
+    )
+
+
+_lazy_oracle("dedup_minhash_lsh", _oracle_minhash)
+
+
+@_register("dedup_simhash")
 def q_dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     sim = dedup.simhash(d)
     return dedup.simhash_near_pairs(sim, max_hamming=8).orderBy("id1", "id2")
+
+
+def _oracle_simhash() -> str:
+    """Brute-force all-pairs hamming ground truth: proves the pigeonhole
+    blocking (max_hamming+1 blocks) has complete recall, not just that
+    the blocked path is self-consistent."""
+    from gdal_spark.text import ref_impl
+
+    rows = ref_impl.simhash_allpairs_ref(ref_impl.load_documents(), max_hamming=8)
+    return ref_impl.values_sql(
+        rows, ["id1", "id2", "hamming"], ["BIGINT", "BIGINT", "BIGINT"], "id1, id2"
+    )
+
+
+_lazy_oracle("dedup_simhash", _oracle_simhash)
 
 
 @_register(
@@ -638,13 +667,35 @@ def q_ann_knn_cosine_join(spark, sf_dir):
     return knn_cosine_join(q, e, k=3, query_id="vec_id").orderBy("qid", "rank")
 
 
-@_register("ann_lsh_bucketed")  # rows-only: approximate by design
+@_register("ann_lsh_bucketed")
 def q_ann_lsh_bucketed(spark, sf_dir):
     from gdal_spark.operators.similarity import lsh_bucketed_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "qid")
-    return lsh_bucketed_topk(q, e, k=3, n_planes=10, probe_flips=1).orderBy("qid", "rank")
+    return lsh_bucketed_topk(q, e, k=3, n_planes=10, probe_flips=1, dim=64).orderBy(
+        "qid", "rank"
+    )
+
+
+def _oracle_ann_lsh() -> str:
+    """Independent Python re-computation of the seeded hyperplane buckets,
+    multiprobe set, and sequential-fold cosine — exact, not recall-only."""
+    from gdal_spark.text import ref_impl
+
+    rows = ref_impl.lsh_bucketed_topk_ref(
+        ref_impl.load_embeddings(), query_ids=set(range(10)), k=3, n_planes=10,
+        probe_flips=1,
+    )
+    return ref_impl.values_sql(
+        rows,
+        ["qid", "id", "cos_e6", "rank"],
+        ["BIGINT", "BIGINT", "BIGINT", "INT"],
+        "qid, rank",
+    )
+
+
+_lazy_oracle("ann_lsh_bucketed", _oracle_ann_lsh)
 
 
 # -- 7. raster ---------------------------------------------------------------

@@ -154,9 +154,16 @@ def lsh_bucketed_topk(
     buckets at Hamming distance ≤ probe_flips (multiprobe LSH). The join
     is an equi-join on bucket id, so the per-query work is the bucket
     occupancy, not the corpus size. Recall grows with probe_flips.
+
+    ``dim`` is required: inferring it would need a driver-side action
+    (``corpus.first()``) inside operator construction, which at scale
+    triggers a full extra Spark job before the real one.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_bucketed_topk requires dim= (embedding length); "
+            "inferring it from the corpus would run a driver-side job"
+        )
     planes = random_hyperplanes(dim, n_planes, seed)
     c = corpus.select(F.col(corpus_id).alias("id"), F.col(vec_col).alias("cv")).withColumn(
         "bucket", _sign_bucket(F.col("cv"), planes)

@@ -150,25 +150,28 @@ def minhash_signatures(
         "id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("h")
     )
     coeffs = _perm_coeffs(num_hashes, seed)
-    # (a*h+b) mod p in 128-bit-safe pieces: h < 2^61, a < 2^61 → a*h overflows
-    # int64, so reduce via double-width split: a*h mod p computed with
-    # Spark's decimal? Simpler: (a mod p)*(h mod p) splits into hi/lo words.
-    # h fits 61 bits; split h = h1*2^31 + h0 to keep products under 2^63.
-    h1 = (F.col("h") / F.lit(1 << 31)).cast("long")
-    h0 = F.col("h") % F.lit(1 << 31)
+    # (a*h + b) mod p exactly in int64, overflow-free (ANSI-safe):
+    # split both factors into 31-bit limbs (a = a_hi*2^31 + a_lo,
+    # h = h1*2^31 + h0 with h1, a_hi < 2^30) so every partial product
+    # stays < 2^62, then fold the 2^31 / 2^62 weights with the Mersenne
+    # identity 2^61 ≡ 1 (mod 2^61-1): x*2^31 ≡ (x >> 30) + ((x & (2^30-1)) << 31)
+    # and 2^62 ≡ 2. Every intermediate is < 2^63.
+    h1 = F.shiftrightunsigned(F.col("h"), 31)  # < 2^30 (h < 2^61)
+    h0 = F.col("h").bitwiseAND(F.lit((1 << 31) - 1))
+    p = F.lit(MERSENNE_P)
     mins = []
     for i, (a, b) in enumerate(coeffs):
-        a_lo = a % (1 << 31)
-        a_hi = a >> 31
-        # a*h mod p via four partial products, each < 2^62, folded mod p.
-        # 2^31 mod p and 2^62 mod p are precomputed constants.
-        c31 = (1 << 31) % MERSENNE_P
-        c62 = (1 << 62) % MERSENNE_P
-        t0 = (F.lit(a_lo) * h0) % F.lit(MERSENNE_P)
-        t1 = ((F.lit(a_lo) * h1) % F.lit(MERSENNE_P)) * F.lit(c31) % F.lit(MERSENNE_P)
-        t2 = ((F.lit(a_hi) * h0) % F.lit(MERSENNE_P)) * F.lit(c31) % F.lit(MERSENNE_P)
-        t3 = ((F.lit(a_hi) * h1) % F.lit(MERSENNE_P)) * F.lit(c62) % F.lit(MERSENNE_P)
-        val = (t0 + t1 + t2 + t3 + F.lit(b)) % F.lit(MERSENNE_P)
+        a_lo = a & ((1 << 31) - 1)
+        a_hi = a >> 31  # < 2^30
+        lo = (F.lit(a_lo) * h0) % p  # product < 2^62
+        mid = (F.lit(a_lo) * h1 + F.lit(a_hi) * h0) % p  # sum < 2^62
+        # mid*2^31 mod p via the rotation identity; mid < p < 2^61
+        mid31 = (
+            F.shiftrightunsigned(mid, 30)
+            + F.shiftleft(mid.bitwiseAND(F.lit((1 << 30) - 1)), 31)
+        ) % p
+        hi2 = (F.lit(a_hi) * h1 * F.lit(2)) % p  # < 2^61 before mod
+        val = (lo + mid31 + hi2 + F.lit(b)) % p  # sum of 4 terms < 4p < 2^63
         mins.append(F.min(val).alias(f"m{i}"))
     agg = sh.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
@@ -272,13 +275,35 @@ def simhash(
     return sums.select("id", acc.alias("simhash"))
 
 
-def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """Candidate near-dup pairs by simhash: block on 4 rotated prefixes
-    (any pair within hamming ≤ max_hamming agrees on ≥1 of 4 16-bit
-    quarters), verify exact hamming via bit_count(xor)."""
+def simhash_blocks(max_hamming: int, bits: int = 64) -> list[tuple[int, int]]:
+    """(offset, width) bit-blocks for pigeonhole-complete blocking.
+
+    ``max_hamming + 1`` blocks guarantee any pair within the hamming
+    budget agrees on at least one whole block (≤ max_hamming flipped bits
+    cannot touch all max_hamming+1 blocks). Widths differ by ≤1 bit.
+    """
+    n_blocks = min(bits, max_hamming + 1)
+    base, extra = divmod(bits, n_blocks)
+    out, off = [], 0
+    for q in range(n_blocks):
+        w = base + (1 if q < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate near-dup pairs by simhash: pigeonhole blocking on
+    ``max_hamming + 1`` disjoint bit-blocks (any pair within hamming ≤
+    max_hamming agrees on ≥1 whole block), then exact hamming verify via
+    ``bit_count(xor)``. Equi-join on (block, key) — bucketed, not
+    all-pairs, so it scales with bucket occupancy."""
     parts = []
-    for q in range(4):
-        key = F.shiftrightunsigned(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF))
+    for q, (off, width) in enumerate(simhash_blocks(max_hamming)):
+        shifted = F.shiftrightunsigned(F.col("simhash"), off)
+        # width == 64 only when max_hamming == 0 (single block = whole hash);
+        # (1 << 64) - 1 would overflow a Java long literal
+        key = shifted if width >= 64 else shifted.bitwiseAND(F.lit((1 << width) - 1))
         parts.append(sim.select("id", F.col("simhash"), F.lit(q).alias("q"), key.alias("key")))
     blocks = parts[0]
     for p in parts[1:]:

@@ -50,6 +50,11 @@ def value_hash(rows, colnames) -> str:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
     only = [a for a in sys.argv[1:] if "/" not in a]
+    # data-dependent lazy oracles (Python reference implementations) read
+    # the same sf dir the Spark side runs against
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
 
     import __spark_entry__ as entrymod
     from gdal_spark.session import get_spark

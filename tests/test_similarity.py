@@ -56,7 +56,7 @@ def test_lsh_bucketed_recall(spark, vecs):
     df, v = vecs
     queries = df.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "qid")
     approx = {}
-    for r in lsh_bucketed_topk(queries, df, k=3, n_planes=10, probe_flips=2).collect():
+    for r in lsh_bucketed_topk(queries, df, k=3, n_planes=10, probe_flips=2, dim=v.shape[1]).collect():
         approx.setdefault(r.qid, set()).add(r.id)
     hits = total = 0
     for qid in range(20):
