@@ -3,7 +3,7 @@ SQLite-dialect spatial function set
 (ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:1188-1223):
 
 ST_AsText, ST_AsBinary, ST_GeomFromText, ST_GeomFromWKB, ST_IsEmpty,
-ST_IsSimple*, ST_IsValid*, ST_Intersects, ST_Equals, ST_Disjoint,
+ST_IsSimple*, ST_IsValid*, ST_Intersects, ST_Equals*, ST_Disjoint,
 ST_Touches, ST_Crosses*, ST_Within, ST_Contains, ST_Overlaps*,
 ST_Intersection, ST_Area, ST_Length, ST_Distance, ST_Buffer,
 ST_MakePoint, ST_Centroid, ST_Envelope, ST_ConvexHull, ST_SRID.
@@ -70,15 +70,65 @@ st_within = _pair_udf(ops.within, BooleanType())
 st_touches = _pair_udf(ops.touches, BooleanType())
 
 
+def _norm_open_seq(c):
+    """Canonical form of an open coordinate sequence: the lexicographically
+    smaller of (forward, reversed) rounded tuples."""
+    t = tuple(map(tuple, np.round(np.asarray(c, dtype=np.float64), 12)))
+    return min(t, tuple(reversed(t)))
+
+
+def _norm_ring(c):
+    """Canonical closed ring: all rotations of both orientations, min."""
+    a = np.round(np.asarray(c, dtype=np.float64), 12)
+    if len(a) > 1 and tuple(a[0]) == tuple(a[-1]):
+        a = a[:-1]
+    t = tuple(map(tuple, a))
+    cands = []
+    for seq in (t, tuple(reversed(t))):
+        cands.extend(seq[i:] + seq[:i] for i in range(len(seq)))
+    return min(cands) if cands else ()
+
+
+def _norm_geom(g):
+    pts, lines, polys = [], [], []
+
+    def walk(gg):
+        name, payload = gg
+        if name == "Point":
+            pts.append(tuple(np.round(np.asarray(payload, dtype=np.float64), 12)))
+        elif name == "MultiPoint":
+            for p in payload:
+                pts.append(tuple(np.round(np.asarray(p, dtype=np.float64), 12)))
+        elif name == "LineString":
+            lines.append(_norm_open_seq(payload))
+        elif name == "MultiLineString":
+            for _, c in payload:
+                lines.append(_norm_open_seq(c))
+        elif name == "Polygon":
+            if payload:
+                polys.append(
+                    (_norm_ring(payload[0]), tuple(sorted(_norm_ring(h) for h in payload[1:])))
+                )
+        elif name == "MultiPolygon":
+            for _, rings in payload:
+                if rings:
+                    polys.append(
+                        (_norm_ring(rings[0]), tuple(sorted(_norm_ring(h) for h in rings[1:])))
+                    )
+        elif name == "GeometryCollection":
+            for child in payload:
+                walk(child)
+
+    walk(g)
+    return (sorted(pts), sorted(lines), sorted(polys))
+
+
 def _equals(a, b) -> bool:
-    ca, cb = ops._all_coords(a), ops._all_coords(b)
-    if ca.shape != cb.shape:
-        # same point set in any order (OGR Equals is topological; this
-        # covers the vertex-set case used by fixtures)
-        pass
-    sa = {tuple(p) for p in np.round(ca, 12)}
-    sb = {tuple(p) for p in np.round(cb, 12)}
-    return sa == sb and ops.contains(a, b) == ops.contains(b, a)
+    """Structural equality up to part order, ring rotation, and
+    orientation reversal (SIMPLIFIED vs OGR's topological Equals: two
+    shapes tracing the same point set with different vertex placement —
+    e.g. an extra collinear vertex — compare unequal here)."""
+    return _norm_geom(a) == _norm_geom(b)
 
 
 st_equals = _pair_udf(_equals, BooleanType())

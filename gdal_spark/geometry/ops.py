@@ -8,11 +8,14 @@ Pure NumPy; semantics follow the reference's GEOS-backed methods
 - measures: Area (shoelace minus holes), Length, Distance
 - constructions: Centroid (area-weighted), Envelope, ConvexHull,
   Buffer (points/lines/polygons via round-joined offset approximation),
-  Intersection (polygon ∩ convex polygon via Sutherland–Hodgman;
-  arbitrary subject, convex clip)
+  Intersection/Difference for ARBITRARY simple polygons with holes:
+  Sutherland–Hodgman fast path when the clip side is convex, else a
+  triangulation-backed general kernel (ear clipping reduces every clip
+  to convex triangles, so SH stays valid for any subject)
 
-Documented deviation: non-convex ∩ non-convex constructive overlay is not
-supported in v1 (raise) — the reference delegates those to GEOS.
+Documented deviation: constructive outputs are *piece decompositions* —
+disjoint rings whose union equals the exact overlay (same total area);
+the reference's GEOS path would dissolve them into minimal polygons.
 """
 
 from __future__ import annotations
@@ -475,27 +478,29 @@ def clip_polygon_convex(subject_ring: np.ndarray, clip_ring: np.ndarray) -> np.n
 
 
 def intersection(a, b):
-    """Polygon ∩ polygon where at least one side is convex (v1 contract).
+    """Polygon ∩ polygon, arbitrary simple operands.
 
-    Returns ("Polygon", [ring]) or ("Polygon", []) if empty."""
+    Fast path: one hole-less convex side → single Sutherland–Hodgman
+    clip. General path: triangulation-backed piece decomposition
+    (:func:`intersection_pieces_general`). Returns ("Polygon", [ring]),
+    ("MultiPolygon", ...), or ("Polygon", []) if empty."""
     pa = _polygons_of(a)
     pb = _polygons_of(b)
     if not pa or not pb:
         raise NotImplementedError("intersection requires polygonal inputs")
     rings_out = []
+    simple = all(len(r) == 1 for r in pa + pb)
     for ra in pa:
         for rb in pb:
             sub, clip = ra[0], rb[0]
-            if not _is_convex(np.asarray(clip, dtype=float)):
-                if _is_convex(np.asarray(sub, dtype=float)):
-                    sub, clip = clip, sub
-                else:
-                    raise NotImplementedError(
-                        "v1 overlay needs one convex operand (GEOS-free)"
-                    )
-            r = clip_polygon_convex(sub, clip)
-            if len(r):
-                rings_out.append(r)
+            if simple and _is_convex(np.asarray(clip, dtype=float)):
+                r = clip_polygon_convex(sub, clip)
+                rings_out.extend([r] if len(r) else [])
+            elif simple and _is_convex(np.asarray(sub, dtype=float)):
+                r = clip_polygon_convex(clip, sub)
+                rings_out.extend([r] if len(r) else [])
+            else:
+                rings_out.extend(intersection_pieces_general([ra], [rb]))
     if not rings_out:
         return ("Polygon", [])
     if len(rings_out) == 1:
@@ -560,14 +565,181 @@ def convex_difference_pieces(subject_ring: np.ndarray, clip_ring: np.ndarray) ->
     return pieces
 
 
-def difference_pieces(subject_rings: list, clip_rings_list: list) -> list:
-    """subject polygon ∖ union(clips): iteratively subtract each convex
-    clip from every remaining piece. Returns list of exterior rings."""
-    pieces = [np.asarray(subject_rings[0], dtype=float)]
-    for clip in clip_rings_list:
+# ---------------------------------------------------------------------------
+# constructive: GENERAL (non-convex) overlay via triangulation
+#
+# Every operand reduces to triangles (ear clipping) — triangles are convex,
+# so Sutherland–Hodgman stays valid for arbitrary subjects. Results are
+# *piece decompositions*: disjoint rings whose union equals the exact
+# overlay (same total area; GEOS would dissolve them — documented
+# deviation shared with the convex path). SH of a non-convex subject can
+# emit zero-width bridges along clip edges; those contribute zero area
+# and preserve point membership a.e., which is the contract the
+# area-compared gates rely on.
+# ---------------------------------------------------------------------------
+
+def _point_blocks_ear(p, a, b, c) -> bool:
+    """Closed containment vs a CCW candidate ear: a vertex ON the ear
+    boundary (e.g. exactly on the a→c diagonal) must block the clip, or
+    the remainder self-intersects."""
+    d1 = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+    d2 = (c[0] - b[0]) * (p[1] - b[1]) - (c[1] - b[1]) * (p[0] - b[0])
+    d3 = (a[0] - c[0]) * (p[1] - c[1]) - (a[1] - c[1]) * (p[0] - c[0])
+    return d1 >= 0 and d2 >= 0 and d3 >= 0
+
+
+def triangulate_ring(ring: np.ndarray) -> list:
+    """Ear-clipping triangulation of a simple ring (any orientation).
+
+    Returns a list of closed CCW triangle rings whose union is the
+    polygon. O(n²) per ring — feature-scale, runs inside Arrow batches.
+    Convex rings short-circuit to a fan.
+    """
+    r = np.asarray(ring, dtype=float)
+    if len(r) > 1 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    # drop consecutive duplicates
+    if len(r) > 1:
+        keep = np.ones(len(r), dtype=bool)
+        keep[1:] = ~(r[1:] == r[:-1]).all(axis=1)
+        if (r[0] == r[-1]).all():
+            keep[-1] = False
+        r = r[keep]
+    if len(r) < 3:
+        return []
+    area2 = float(
+        (r[:, 0] * np.roll(r[:, 1], -1) - np.roll(r[:, 0], -1) * r[:, 1]).sum()
+    )
+    if area2 < 0:
+        r = r[::-1]
+    scale = max(1.0, float(np.abs(r).max())) ** 2
+    eps = 1e-12 * scale
+    if _is_convex(np.vstack([r, r[:1]])):
+        return [
+            np.array([r[0], r[i], r[i + 1], r[0]]) for i in range(1, len(r) - 1)
+        ]
+    idx = list(range(len(r)))
+    tris = []
+    while len(idx) > 3:
+        n = len(idx)
+        clipped = False
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = r[i0], r[i1], r[i2]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if cross <= eps:
+                continue  # reflex or degenerate corner — not an ear
+            if any(
+                _point_blocks_ear(r[j], a, b, c)
+                for j in idx
+                if j not in (i0, i1, i2)
+            ):
+                continue
+            tris.append(np.array([a, b, c, a]))
+            del idx[k]
+            clipped = True
+            break
+        if not clipped:
+            # numerical fallback: drop the flattest (most collinear) corner
+            # — exact simple polygons always have an ear, so only FP noise
+            # lands here
+            best_k, best_abs = 0, np.inf
+            for k in range(n):
+                i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+                a, b, c = r[i0], r[i1], r[i2]
+                cr = abs(
+                    (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+                )
+                if cr < best_abs:
+                    best_k, best_abs = k, cr
+            del idx[best_k]
+    if len(idx) == 3:
+        a, b, c = r[idx[0]], r[idx[1]], r[idx[2]]
+        cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        if cross > eps:
+            tris.append(np.array([a, b, c, a]))
+    return tris
+
+
+def polygon_pieces(rings: list) -> list:
+    """(exterior − holes) as disjoint rings. The exterior stays whole
+    (SH only needs the CLIP convex, so arbitrary subjects are fine);
+    holes are triangulated and subtracted triangle by triangle."""
+    ext = np.asarray(rings[0], dtype=float)
+    if len(ext) < 3:
+        return []
+    pieces = [ext]
+    for hole in rings[1:]:
+        for t in triangulate_ring(np.asarray(hole, dtype=float)):
+            pieces = [q for p in pieces for q in convex_difference_pieces(p, t)]
+        if not pieces:
+            break
+    return pieces
+
+
+def intersection_pieces_general(polys_a: list, polys_b: list) -> list:
+    """A ∩ B for arbitrary simple polygons-with-holes (ring-list lists).
+
+    piecesA ∩ tri(extB), minus B's hole triangles. Disjoint by
+    construction (piecesA disjoint × triangles disjoint)."""
+    out = []
+    for rb in polys_b:
+        tris_b = triangulate_ring(np.asarray(rb[0], dtype=float))
+        hole_tris = [
+            t
+            for hole in rb[1:]
+            for t in triangulate_ring(np.asarray(hole, dtype=float))
+        ]
+        for ra in polys_a:
+            for pa in polygon_pieces(ra):
+                for tb in tris_b:
+                    q = clip_polygon_convex(pa, tb)
+                    if not len(q):
+                        continue
+                    qs = [q]
+                    for ht in hole_tris:
+                        qs = [w for v in qs for w in convex_difference_pieces(v, ht)]
+                        if not qs:
+                            break
+                    out.extend(p for p in qs if kernels.ring_area(p) > 0)
+    return out
+
+
+def difference_pieces(subject_rings: list, clip_polys: list) -> list:
+    """subject polygon ∖ union(clip polygons): returns disjoint rings.
+
+    ``clip_polys``: list of ring-lists (each a polygon with holes);
+    bare rings (ndarray) are accepted as hole-less polygons for
+    backwards compatibility. Non-convex clips are triangulated; the part
+    of the subject inside a clip's *hole* survives."""
+    pieces = polygon_pieces([np.asarray(r, dtype=float) for r in subject_rings])
+    for cp in clip_polys:
+        if isinstance(cp, np.ndarray):  # bare ring → hole-less polygon
+            cp = [cp]
+        ext = np.asarray(cp[0], dtype=float)
+        ext_tris = triangulate_ring(ext)
+        cminx, cminy = ext.min(axis=0)
+        cmaxx, cmaxy = ext.max(axis=0)
         nxt = []
         for p in pieces:
-            nxt.extend(convex_difference_pieces(p, np.asarray(clip, dtype=float)))
+            pminx, pminy = p.min(axis=0)
+            pmaxx, pmaxy = p.max(axis=0)
+            if pminx > cmaxx or cminx > pmaxx or pminy > cmaxy or cminy > pmaxy:
+                nxt.append(p)  # disjoint bboxes — subject piece unaffected
+                continue
+            # p − ext(clip)
+            rem = [p]
+            for t in ext_tris:
+                rem = [q for r0 in rem for q in convex_difference_pieces(r0, t)]
+                if not rem:
+                    break
+            nxt.extend(rem)
+            # + p ∩ holes(clip) (survives the subtraction)
+            for hole in cp[1:]:
+                for ht in triangulate_ring(np.asarray(hole, dtype=float)):
+                    q = clip_polygon_convex(p, ht)
+                    if len(q) and kernels.ring_area(q) > 0:
+                        nxt.append(q)
         pieces = nxt
         if not pieces:
             break

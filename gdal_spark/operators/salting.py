@@ -32,11 +32,23 @@ def salted_join(
     how: str = "inner",
     fact_salt_col: str | None = None,
 ) -> DataFrame:
-    """Equi-join with every dim row replicated n_salt times."""
+    """Equi-join with every dim row replicated n_salt times.
+
+    Only inner/left joins are valid: with right/full, unmatched dim rows
+    would be emitted once per replica. The default salt hashes the FULL
+    fact row content (not the join keys alone, which would put every hot
+    key in one salt bucket; not spark_partition_id, which is not stable
+    across re-runs/resumes).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): dim rows are "
+            "replicated n_salt times, so right/full would duplicate unmatched dim rows"
+        )
     salt_src = (
         F.col(fact_salt_col)
         if fact_salt_col
-        else F.xxhash64(*[F.col(c) for c in on], F.spark_partition_id())
+        else F.xxhash64(*[F.col(c) for c in fact.columns])
     )
     f = fact.withColumn("__salt", F.pmod(salt_src, F.lit(n_salt)).cast("int"))
     d = dim.withColumn(

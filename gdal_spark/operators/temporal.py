@@ -36,9 +36,12 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key, right_ts)]
     l = left.withColumn("__side", F.lit(1))
+    # all value columns travel as ONE struct so the carried values always
+    # come from the same (latest) right row — per-column last(ignorenulls)
+    # would back-fill a NULL field from an older snapshot, mixing rows
     r = right.select(
         F.col(key), F.col(right_ts).alias(left_ts),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__v"),
     ).withColumn("__side", F.lit(0))
     unioned = l.unionByName(r, allowMissingColumns=True)
     # right rows (side 0) sort before left rows at the same timestamp →
@@ -48,19 +51,11 @@ def asof_join(
         .orderBy(F.col(left_ts).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in value_cols
-        ],
-    )
-    out = carried.filter(F.col("__side") == 1).drop(
-        "__side", *[f"__v_{c}" for c in value_cols]
-    )
+    carried = unioned.select("*", F.last("__v", ignorenulls=True).over(w).alias("__c"))
+    out = carried.filter(F.col("__side") == 1)
     for c in value_cols:
-        out = out.withColumnRenamed(f"__c_{c}", c)
-    return out
+        out = out.withColumn(c, F.col("__c").getField(c))
+    return out.drop("__side", "__v", "__c")
 
 
 def sessionize(

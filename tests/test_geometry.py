@@ -140,3 +140,83 @@ def test_polygonset_tile_cover_consistency():
             assert t in cover
         if t in fullset:
             assert inside[i]
+
+
+# ---------------------------------------------------------------------------
+# general (non-convex) overlay kernel
+# ---------------------------------------------------------------------------
+
+def _ring(*pts):
+    import numpy as np
+    a = np.asarray(pts, dtype=float)
+    return np.vstack([a, a[:1]])
+
+
+def _pieces_area(pieces):
+    from gdal_spark.geometry import kernels
+    return sum(kernels.ring_area(p) for p in pieces)
+
+
+def test_triangulate_concave_area():
+    import numpy as np
+    from gdal_spark.geometry import kernels, ops
+    # L-shape (concave), area 3
+    L = _ring((0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2))
+    tris = ops.triangulate_ring(L)
+    assert len(tris) == 4
+    assert abs(sum(kernels.ring_area(t) for t in tris) - 3.0) < 1e-12
+
+
+def test_intersection_concave_concave():
+    from gdal_spark.geometry import ops
+    # L-shape ∩ its mirror: overlap is the 1x1 square [0,1]x[0,1] plus
+    # strips — compute vs a half-plane-free oracle by construction:
+    L = _ring((0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2))
+    # concave "staircase" overlapping the L
+    S = _ring((0, 0), (3, 0), (3, 0.5), (0.5, 0.5), (0.5, 3), (0, 3))
+    name, payload = ops.intersection(("Polygon", [L]), ("Polygon", [S]))
+    rings = [r for _, rr in (payload if name == "MultiPolygon" else [(None, payload)]) for r in rr] \
+        if name == "MultiPolygon" else payload
+    # truth: L ∩ S = [0,2]x[0,0.5] (area 1.0) ∪ [0,0.5]x[0.5,2] (area 0.75)
+    assert abs(_pieces_area(rings) - 1.75) < 1e-9
+
+
+def test_intersection_with_hole():
+    from gdal_spark.geometry import ops
+    # 4x4 square with 2x2 centered hole ∩ 4x2 bottom half:
+    # bottom half covers [0,4]x[0,2]; hole removes [1,3]x[1,2] → 8-2=6
+    ext = _ring((0, 0), (4, 0), (4, 4), (0, 4))
+    hole = _ring((1, 1), (3, 1), (3, 3), (1, 3))
+    half = _ring((0, 0), (4, 0), (4, 2), (0, 2))
+    name, payload = ops.intersection(("Polygon", [ext, hole]), ("Polygon", [half]))
+    rings = [r for _, rr in payload for r in rr] if name == "MultiPolygon" else payload
+    assert abs(_pieces_area(rings) - 6.0) < 1e-9
+
+
+def test_difference_nonconvex_clip():
+    from gdal_spark.geometry import ops
+    # square minus L-shape: 4 - 3 = 1 (the [1,2]x[1,2] corner)
+    sq = _ring((0, 0), (2, 0), (2, 2), (0, 2))
+    L = _ring((0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2))
+    pieces = ops.difference_pieces([sq], [[L]])
+    assert abs(_pieces_area(pieces) - 1.0) < 1e-9
+
+
+def test_difference_clip_with_hole():
+    from gdal_spark.geometry import ops
+    # subject [0,4]^2 minus (4x4 with 2x2 hole) = the hole area = 4
+    sq = _ring((0, 0), (4, 0), (4, 4), (0, 4))
+    ext = _ring((0, 0), (4, 0), (4, 4), (0, 4))
+    hole = _ring((1, 1), (3, 1), (3, 3), (1, 3))
+    pieces = ops.difference_pieces([sq], [[ext, hole]])
+    assert abs(_pieces_area(pieces) - 4.0) < 1e-9
+
+
+def test_subject_holes_respected():
+    from gdal_spark.geometry import ops
+    # subject with hole minus nothing-overlapping clip keeps area 12
+    ext = _ring((0, 0), (4, 0), (4, 4), (0, 4))
+    hole = _ring((1, 1), (3, 1), (3, 3), (1, 3))
+    far = _ring((10, 10), (11, 10), (11, 11), (10, 11))
+    pieces = ops.difference_pieces([ext, hole], [[far]])
+    assert abs(_pieces_area(pieces) - 12.0) < 1e-9

@@ -70,3 +70,30 @@ def test_checkpoint_total_rows_partition_invariant(spark, tmp_path):
         json.load(open(manifest_path(root, s)))["row_count"] for s in range(3)
     )
     assert total == 300
+
+
+def test_salted_join_rejects_right_full(spark):
+    import pytest
+    from gdal_spark.operators.salting import salted_join
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        salted_join(df, df, on=["k"], how="right")
+    with pytest.raises(ValueError):
+        salted_join(df, df, on=["k"], how="full")
+
+
+def test_salted_join_salt_deterministic_and_spread(spark):
+    """Salt derives from row content (stable across re-runs) and spreads
+    a hot key across buckets."""
+    from pyspark.sql import functions as F
+    from gdal_spark.operators.salting import salted_join
+
+    fact = spark.range(1000).select(F.lit(7).alias("k"), F.col("id").alias("payload"))
+    dim = spark.createDataFrame([(7, "x")], "k INT, v STRING")
+    out = salted_join(fact, dim, on=["k"], n_salt=8)
+    assert out.count() == 1000
+    # same content → same salt: re-running the plan yields identical rows
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in out.collect())
+    assert a == b

@@ -39,3 +39,24 @@ def test_sessionize_gaps(spark):
     ev = spark.createDataFrame(rows, "event_id INT, user_id INT, ts TIMESTAMP")
     got = {r.event_id: r.session_id for r in sessionize(ev, gap_seconds=1800, tiebreak="event_id").collect()}
     assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_asof_join_null_in_matched_row_not_backfilled(spark):
+    """A NULL value column in the matched (latest) right row must stay
+    NULL — not be back-filled from an older right snapshot (ADVICE r1)."""
+    import pandas as pd
+    from gdal_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": pd.to_datetime(["2024-01-10"])})
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "old", 100),
+            (1, "2024-01-05", None, 200),
+        ],
+        "k INT, ts STRING, name STRING, qty INT",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = asof_join(left, right, key="k").collect()[0]
+    assert row.qty == 200
+    assert row.name is None  # latest snapshot's NULL preserved
