@@ -144,50 +144,83 @@ def proximity(
     band: int = 1,
 ) -> DataFrame:
     """Distance raster to the nearest target pixel (exact Euclidean,
-    pixel units). Target pixel centers are extracted distributed, then
-    broadcast; each block computes min distances vectorized."""
+    pixel units), fully distributed:
+
+    1. target pixel coords extracted per tile (vectorized nonzero);
+    2. each target is ASSIGNED to every tile whose max_dist-expanded
+       bounding box can see it (column-math sequence/explode — no
+       driver collect, no global broadcast of the target set);
+    3. a cogrouped applyInPandas computes each tile's min distance
+       against only its local target set (pixels × local targets).
+
+    Per-tile work is bounded by target density × (tile + 2·max_dist)²
+    instead of the global target count — the property that lets dense
+    targets on a 100-TB raster scale. Distances past max_dist clamp to
+    max_dist (GDALComputeProximity maxdist contract).
+    """
     dtype = meta.dtype
     bw, bh = meta.block_w, meta.block_h
-    tv = set(float(v) for v in target_values)
+    tv = sorted(float(v) for v in target_values)
+    md = float(max_dist) if max_dist is not None else float(np.hypot(meta.width, meta.height))
 
     def targets(iterator):
         for pdf in iterator:
-            rows = []
+            frames = []
             for _, r in pdf.iterrows():
                 arr = np.frombuffer(r.data, dtype=dtype).reshape(r.h, r.w).astype(np.float64)
-                m = np.isin(arr, list(tv))
-                ys, xs = np.nonzero(m)
-                for y, x in zip(ys, xs):
-                    rows.append((int(r.block_x) * bw + int(x), int(r.block_y) * bh + int(y)))
-            yield pd.DataFrame(rows, columns=["tx", "ty"])
+                ys, xs = np.nonzero(np.isin(arr, tv))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "tx": int(r.block_x) * bw + xs.astype(np.int64),
+                            "ty": int(r.block_y) * bh + ys.astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+                columns=["tx", "ty"]
+            )
 
     src = tiles.filter(F.col("band") == band)
-    tpts = src.mapInPandas(targets, "tx LONG, ty LONG").collect()
-    txs = np.array([r.tx for r in tpts], dtype=np.float64)
-    tys = np.array([r.ty for r in tpts], dtype=np.float64)
-    md = float(max_dist) if max_dist is not None else float(np.hypot(meta.width, meta.height))
+    tpts = src.mapInPandas(targets, "tx LONG, ty LONG")
+    # assign each target to the tile range its max_dist box overlaps
+    mdc = int(np.ceil(md))
+    bx0 = F.greatest(F.lit(0), F.floor((F.col("tx") - mdc) / bw)).cast("int")
+    bx1 = F.least(F.lit(meta.blocks_x - 1), F.floor((F.col("tx") + mdc) / bw)).cast("int")
+    by0 = F.greatest(F.lit(0), F.floor((F.col("ty") - mdc) / bh)).cast("int")
+    by1 = F.least(F.lit(meta.blocks_y - 1), F.floor((F.col("ty") + mdc) / bh)).cast("int")
+    assigned = (
+        tpts.withColumn("block_x", F.explode(F.sequence(bx0, bx1)))
+        .withColumn("block_y", F.explode(F.sequence(by0, by1)))
+        .select("block_x", "block_y", "tx", "ty")
+    )
 
-    def dist_block(iterator):
-        for pdf in iterator:
-            rows = []
-            for _, r in pdf.iterrows():
-                h, w = int(r.h), int(r.w)
-                gx = np.arange(w) + int(r.block_x) * bw
-                gy = np.arange(h) + int(r.block_y) * bh
-                GX, GY = np.meshgrid(gx, gy)
-                if len(txs):
-                    d2 = (
-                        (GX.ravel()[:, None] - txs[None, :]) ** 2
-                        + (GY.ravel()[:, None] - tys[None, :]) ** 2
-                    )
-                    d = np.sqrt(d2.min(axis=1)).reshape(h, w)
-                else:
-                    d = np.full((h, w), md)
-                d = np.minimum(d, md)
-                rows.append((int(r.band), int(r.block_y), int(r.block_x), h, w, d.tobytes()))
-            yield pd.DataFrame(rows, columns=["band", "block_y", "block_x", "h", "w", "data"])
+    def dist_block(key, tiles_pdf: pd.DataFrame, tgt_pdf: pd.DataFrame) -> pd.DataFrame:
+        txs = tgt_pdf["tx"].to_numpy(np.float64)
+        tys = tgt_pdf["ty"].to_numpy(np.float64)
+        rows = []
+        for _, r in tiles_pdf.iterrows():
+            h, w = int(r.h), int(r.w)
+            gx = np.arange(w) + int(r.block_x) * bw
+            gy = np.arange(h) + int(r.block_y) * bh
+            GX, GY = np.meshgrid(gx, gy)
+            if len(txs):
+                d2 = (
+                    (GX.ravel()[:, None] - txs[None, :]) ** 2
+                    + (GY.ravel()[:, None] - tys[None, :]) ** 2
+                )
+                d = np.sqrt(d2.min(axis=1)).reshape(h, w)
+            else:
+                d = np.full((h, w), md)
+            d = np.minimum(d, md)
+            rows.append((int(r.band), int(r.block_y), int(r.block_x), h, w, d.tobytes()))
+        return pd.DataFrame(rows, columns=["band", "block_y", "block_x", "h", "w", "data"])
 
-    return src.mapInPandas(dist_block, TILES_SCHEMA)
+    return (
+        src.groupBy("block_x", "block_y")
+        .cogroup(assigned.groupBy("block_x", "block_y"))
+        .applyInPandas(dist_block, TILES_SCHEMA)
+    )
 
 
 def proximity_np(arr: np.ndarray, target_values, max_dist=None) -> np.ndarray:

@@ -3,69 +3,279 @@ alg/polygonize.cpp:87) and the sieve filter (alg/gdalsievefilter.cpp:178),
 distributed.
 
 Pipeline:
-1. **per-tile CCL** — union-find over equal pixel values, 4- or
-   8-connected (polygonize.cpp:439-500 connectivity options), labels
-   globally unique via ``tile_id << 32 | local_label``;
-2. **cross-tile merge** — every tile emits its boundary runs
-   (label, value, edge pixels); adjacent-tile runs with equal value and
-   touching pixels yield label-equivalence edges; a union-find over the
-   edge set (O(boundary runs), not O(pixels)) produces final labels. The
-   merge is iterative min-label propagation when the edge set is too big
-   to collect — here the collected form is used (edge count ≈ tiles ×
-   tile edge length, trivially small relative to pixel count);
-3. **region stats** — one row per final component: value, pixel count,
-   bbox. (The reference emits ring polygons; ring assembly from pixel
-   runs is deferred — counts/values/extents are what its tests assert.)
+1. **per-tile CCL** — vectorized run-based two-pass labeling (row runs by
+   ``cumsum`` over value changes; vertical/diagonal run-merge edges from
+   shifted-array compares; union-find over RUNS, not pixels — the only
+   Python loop is over unique run-equivalence edges). Labels are globally
+   unique via the canonical row-major first-pixel index plus
+   ``tile_id << 32``. 4- or 8-connected (polygonize.cpp:439-500).
+2. **single tile pass** — ONE ``mapInPandas`` emits region stats,
+   boundary-pixel rows, and intra-tile label-adjacency edges together
+   (kind-tagged union schema, persisted) — the r1 design ran the CCL
+   twice per tile.
+3. **cross-tile merge** — adjacent-tile boundary rows join on global
+   coords (for 8-connectivity the bottom/right edges additionally join at
+   ±1 offset, covering diagonal-only contact across tile borders — the
+   r1 gap); equal-value pairs are label-equivalence edges; a union-find
+   over that edge set (O(boundary runs), small relative to pixels — the
+   one deliberate driver-side reduction, same trade the reference's
+   in-memory polygon map makes) produces final labels.
+4. **region stats** — one row per final component: value, pixel count,
+   bbox. Ring assembly lives in :func:`polygonize_polygons`.
 
-Sieve: components smaller than ``threshold`` merge into their largest
-neighbor (gdalsievefilter.cpp contract), realized as a relabel join.
+Sieve: components smaller than ``threshold`` take the value of their
+LARGEST truly-adjacent neighbor (gdalsievefilter.cpp:178 contract —
+adjacency from the actual pixel-adjacency graph, intra-tile edges + the
+cross-tile boundary join, NOT bbox approximation). The merge decision is
+a DataFrame join + window pick — no region collect, no O(n²) pairing.
+One-pass semantics (small→largest-neighbor simultaneously) — the
+reference merges progressively in scan order; equal for its fixtures,
+documented deviation for chained merges.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from gdal_spark.raster.model import RasterMeta, TILES_SCHEMA
 
 
+def _run_edges(flat: np.ndarray, run_id: np.ndarray, w: int, connect8: bool) -> np.ndarray:
+    """Unique run-equivalence edges (n,2) from vertical (+diagonal)
+    same-value pixel adjacency — pure shifted-array compares."""
+    parts = []
+    idx = np.flatnonzero(flat[w:] == flat[:-w])
+    if len(idx):
+        parts.append(np.stack([run_id[idx], run_id[idx + w]], axis=1))
+    if connect8:
+        # down-right: i vs i+w+1, i not in last column
+        idx = np.flatnonzero(flat[w + 1 :] == flat[: -w - 1])
+        if len(idx):
+            idx = idx[idx % w != w - 1]
+            if len(idx):
+                parts.append(np.stack([run_id[idx], run_id[idx + w + 1]], axis=1))
+        # down-left: i vs i+w-1, i not in first column
+        idx = np.flatnonzero(flat[w - 1 :] == flat[: -(w - 1)]) if w > 1 else np.array([], np.int64)
+        if len(idx):
+            idx = idx[idx % w != 0]
+            if len(idx):
+                parts.append(np.stack([run_id[idx], run_id[idx + w - 1]], axis=1))
+    if not parts:
+        return np.zeros((0, 2), dtype=np.int64)
+    edges = np.vstack(parts)
+    return np.unique(edges, axis=0)
+
+
 def _ccl_np(arr: np.ndarray, connect8: bool = False) -> np.ndarray:
-    """Union-find CCL over equal values; returns int64 labels (row-major
-    first-pixel index as the canonical label)."""
+    """Vectorized run-based CCL; labels = row-major first-pixel index of
+    each component (canonical, deterministic)."""
     h, w = arr.shape
-    lbl = np.arange(h * w, dtype=np.int64).reshape(h, w)
-    parent = lbl.ravel().copy()
-
-    def find(i):
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
+    flat = arr.ravel()
+    newrun = np.empty(h * w, dtype=bool)
+    newrun[0] = True
+    newrun[1:] = flat[1:] != flat[:-1]
+    newrun[::w] = True
+    run_id = np.cumsum(newrun) - 1
+    starts = np.flatnonzero(newrun)
+    n = len(starts)
+    parent = np.arange(n, dtype=np.int64)
+    edges = _run_edges(flat, run_id, w, connect8)
+    for a, b in edges:  # loop over RUN edges, not pixels
+        ra, rb = a, b
+        while parent[ra] != ra:
+            parent[ra] = parent[parent[ra]]
+            ra = parent[ra]
+        while parent[rb] != rb:
+            parent[rb] = parent[parent[rb]]
+            rb = parent[rb]
         if ra != rb:
             if ra < rb:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
+    # pointer-jump to full compression (few iterations after the unions)
+    while True:
+        p2 = parent[parent]
+        if np.array_equal(p2, parent):
+            break
+        parent = p2
+    return starts[parent][run_id].reshape(h, w)
 
-    same_r = arr[:, 1:] == arr[:, :-1]
-    for y, x in zip(*np.nonzero(same_r)):
-        union(y * w + x, y * w + x + 1)
-    same_d = arr[1:, :] == arr[:-1, :]
-    for y, x in zip(*np.nonzero(same_d)):
-        union(y * w + x, (y + 1) * w + x)
-    if connect8:
-        d1 = arr[1:, 1:] == arr[:-1, :-1]
-        for y, x in zip(*np.nonzero(d1)):
-            union(y * w + x, (y + 1) * w + x + 1)
-        d2 = arr[1:, :-1] == arr[:-1, 1:]
-        for y, x in zip(*np.nonzero(d2)):
-            union(y * w + x + 1, (y + 1) * w + x)
-    out = np.array([find(i) for i in range(h * w)], dtype=np.int64)
-    return out.reshape(h, w)
+
+def polygonize_regions(
+    tiles: DataFrame, meta: RasterMeta, connect8: bool = False, band: int = 1
+) -> DataFrame:
+    """Connected regions of equal value → one row per region:
+    (region_id, value DOUBLE, n_pixels, min_x, min_y, max_x, max_y)."""
+    regions, _, _, combined = _polygonize_internal(tiles, meta, connect8, band)
+    return regions
+
+
+_COMBINED_SCHEMA = (
+    "kind STRING, lab LONG, value DOUBLE, n LONG, minx LONG, miny LONG, "
+    "maxx LONG, maxy LONG, side STRING, gx LONG, gy LONG, lab2 LONG"
+)
+
+
+def _tile_pass(meta: RasterMeta, connect8: bool):
+    """One mapInPandas body emitting stats + boundary rows + intra-tile
+    adjacency per tile (kind-tagged)."""
+    dtype = meta.dtype
+    bw, bh = meta.block_w, meta.block_h
+    nbx = meta.blocks_x
+
+    def tile_ccl(iterator):
+        for pdf in iterator:
+            frames = []
+            for _, r in pdf.iterrows():
+                arr = np.frombuffer(r.data, dtype=dtype).reshape(r.h, r.w)
+                bx, by = int(r.block_x), int(r.block_y)
+                tile_id = by * nbx + bx
+                lab = _ccl_np(arr, connect8) + (np.int64(tile_id) << 32)
+                gx0, gy0 = bx * bw, by * bh
+                h, w = arr.shape
+                flat_lab = lab.ravel()
+                uniq, inv, cnt = np.unique(
+                    flat_lab, return_inverse=True, return_counts=True
+                )
+                ys, xs = np.divmod(np.arange(arr.size), w)
+                minx = np.full(len(uniq), 1 << 60)
+                miny = np.full(len(uniq), 1 << 60)
+                maxx = np.full(len(uniq), -1)
+                maxy = np.full(len(uniq), -1)
+                np.minimum.at(minx, inv, xs + gx0)
+                np.minimum.at(miny, inv, ys + gy0)
+                np.maximum.at(maxx, inv, xs + gx0)
+                np.maximum.at(maxy, inv, ys + gy0)
+                vals = np.zeros(len(uniq))
+                vals[inv] = arr.ravel().astype(np.float64)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "kind": "s",
+                            "lab": uniq,
+                            "value": vals,
+                            "n": cnt,
+                            "minx": minx,
+                            "miny": miny,
+                            "maxx": maxx,
+                            "maxy": maxy,
+                            "side": "",
+                            "gx": 0,
+                            "gy": 0,
+                            "lab2": 0,
+                        }
+                    )
+                )
+                # boundary rows (vectorized, one frame per side)
+                for side, lab_line, val_line, gxs, gys in (
+                    ("t", lab[0, :], arr[0, :], gx0 + np.arange(w), np.full(w, gy0)),
+                    ("b", lab[h - 1, :], arr[h - 1, :], gx0 + np.arange(w), np.full(w, gy0 + h - 1)),
+                    ("l", lab[:, 0], arr[:, 0], np.full(h, gx0), gy0 + np.arange(h)),
+                    ("r", lab[:, w - 1], arr[:, w - 1], np.full(h, gx0 + w - 1), gy0 + np.arange(h)),
+                ):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "kind": "e",
+                                "lab": lab_line,
+                                "value": val_line.astype(np.float64),
+                                "n": 0,
+                                "minx": 0,
+                                "miny": 0,
+                                "maxx": 0,
+                                "maxy": 0,
+                                "side": side,
+                                "gx": gxs,
+                                "gy": gys,
+                                "lab2": 0,
+                            }
+                        )
+                    )
+                # intra-tile label adjacency (same connectivity as the CCL)
+                adj_parts = []
+                pairs_h = np.stack(
+                    [lab[:, :-1].ravel(), lab[:, 1:].ravel()], axis=1
+                )
+                pairs_v = np.stack([lab[:-1, :].ravel(), lab[1:, :].ravel()], axis=1)
+                adj_parts += [pairs_h, pairs_v]
+                if connect8:
+                    adj_parts.append(
+                        np.stack([lab[:-1, :-1].ravel(), lab[1:, 1:].ravel()], axis=1)
+                    )
+                    adj_parts.append(
+                        np.stack([lab[:-1, 1:].ravel(), lab[1:, :-1].ravel()], axis=1)
+                    )
+                adj_parts = [p for p in adj_parts if len(p)]
+                adj = (
+                    np.vstack(adj_parts) if adj_parts else np.zeros((0, 2), np.int64)
+                )
+                adj = adj[adj[:, 0] != adj[:, 1]]
+                if len(adj):
+                    lo = np.minimum(adj[:, 0], adj[:, 1])
+                    hi = np.maximum(adj[:, 0], adj[:, 1])
+                    adj = np.unique(np.stack([lo, hi], axis=1), axis=0)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "kind": "a",
+                                "lab": adj[:, 0],
+                                "value": 0.0,
+                                "n": 0,
+                                "minx": 0,
+                                "miny": 0,
+                                "maxx": 0,
+                                "maxy": 0,
+                                "side": "",
+                                "gx": 0,
+                                "gy": 0,
+                                "lab2": adj[:, 1],
+                            }
+                        )
+                    )
+            yield pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+                columns=["kind", "lab", "value", "n", "minx", "miny", "maxx", "maxy",
+                         "side", "gx", "gy", "lab2"]
+            )
+
+    return tile_ccl
+
+
+def _cross_tile_pairs(edges: DataFrame, connect8: bool) -> DataFrame:
+    """All cross-tile-boundary label pairs (lab1, v1, lab2, v2): straight
+    4-adjacency joins, plus ±1-offset joins for 8-connectivity (diagonal
+    contact across the border, including the 4-tile corner case)."""
+    def shifted(df, col, deltas):
+        if deltas == (0,):
+            return df
+        out = None
+        for d in deltas:
+            part = df.withColumn(col, F.col(col) + F.lit(d))
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    deltas = (-1, 0, 1) if connect8 else (0,)
+    r = edges.filter(F.col("side") == "r").select(
+        (F.col("gx") + 1).alias("gx"), "gy",
+        F.col("lab").alias("lab1"), F.col("value").alias("v1"),
+    )
+    r = shifted(r, "gy", deltas)
+    l = edges.filter(F.col("side") == "l").select(
+        "gx", "gy", F.col("lab").alias("lab2"), F.col("value").alias("v2")
+    )
+    horiz = r.join(l, ["gx", "gy"])
+    b = edges.filter(F.col("side") == "b").select(
+        "gx", (F.col("gy") + 1).alias("gy"),
+        F.col("lab").alias("lab1"), F.col("value").alias("v1"),
+    )
+    b = shifted(b, "gx", deltas)
+    t = edges.filter(F.col("side") == "t").select(
+        "gx", "gy", F.col("lab").alias("lab2"), F.col("value").alias("v2")
+    )
+    vert = b.join(t, ["gx", "gy"])
+    return horiz.unionByName(vert)
 
 
 class _DSU:
@@ -87,114 +297,39 @@ class _DSU:
             self.p[rb] = ra
 
 
-def polygonize_regions(
-    tiles: DataFrame, meta: RasterMeta, connect8: bool = False, band: int = 1
-) -> DataFrame:
-    """Connected regions of equal value → one row per region:
-    (region_id, value DOUBLE, n_pixels, min_x, min_y, max_x, max_y)."""
-    out, _ = _polygonize_with_mapping(tiles, meta, connect8, band)
-    return out
-
-
-def _polygonize_with_mapping(
+def _polygonize_internal(
     tiles: DataFrame, meta: RasterMeta, connect8: bool = False, band: int = 1
 ):
-    """(regions DataFrame, {tile-local label → final root}) pair."""
-    dtype = meta.dtype
-    bw, bh = meta.block_w, meta.block_h
-    nbx = meta.blocks_x
+    """(regions, map_df(lab→root) or None, adjacency(root1,root2), combined)
 
-    def tile_ccl(iterator):
-        for pdf in iterator:
-            stats_rows = []
-            edge_rows = []
-            for _, r in pdf.iterrows():
-                arr = np.frombuffer(r.data, dtype=dtype).reshape(r.h, r.w)
-                bx, by = int(r.block_x), int(r.block_y)
-                tile_id = by * nbx + bx
-                lab = _ccl_np(arr, connect8) + (np.int64(tile_id) << 32)
-                gx0, gy0 = bx * bw, by * bh
-                flat_lab = lab.ravel()
-                flat_val = arr.ravel().astype(np.float64)
-                uniq, inv, cnt = np.unique(flat_lab, return_inverse=True, return_counts=True)
-                ys, xs = np.divmod(np.arange(arr.size), arr.shape[1])
-                minx = np.full(len(uniq), 1 << 60)
-                miny = np.full(len(uniq), 1 << 60)
-                maxx = np.full(len(uniq), -1)
-                maxy = np.full(len(uniq), -1)
-                np.minimum.at(minx, inv, xs + gx0)
-                np.minimum.at(miny, inv, ys + gy0)
-                np.maximum.at(maxx, inv, xs + gx0)
-                np.maximum.at(maxy, inv, ys + gy0)
-                vals = np.zeros(len(uniq))
-                vals[inv] = flat_val  # any member's value (all equal)
-                for i in range(len(uniq)):
-                    stats_rows.append(
-                        (int(uniq[i]), float(vals[i]), int(cnt[i]),
-                         int(minx[i]), int(miny[i]), int(maxx[i]), int(maxy[i]))
-                    )
-                # boundary strips: (side, global offset, label, value)
-                h, w = arr.shape
-                for side, lab_line, val_line, base in (
-                    ("t", lab[0, :], arr[0, :], gx0),
-                    ("b", lab[h - 1, :], arr[h - 1, :], gx0),
-                    ("l", lab[:, 0], arr[:, 0], gy0),
-                    ("r", lab[:, w - 1], arr[:, w - 1], gy0),
-                ):
-                    gy_edge = gy0 if side == "t" else (gy0 + h - 1 if side == "b" else -1)
-                    gx_edge = gx0 if side == "l" else (gx0 + w - 1 if side == "r" else -1)
-                    for i in range(len(lab_line)):
-                        if side in ("t", "b"):
-                            edge_rows.append((side, base + i, gy_edge, int(lab_line[i]), float(val_line[i])))
-                        else:
-                            edge_rows.append((side, gx_edge, base + i, int(lab_line[i]), float(val_line[i])))
-            yield (
-                pd.DataFrame(stats_rows, columns=["lab", "value", "n", "minx", "miny", "maxx", "maxy"]),
-                pd.DataFrame(edge_rows, columns=["side", "gx", "gy", "lab", "value"]),
-            )
-
-    # run the tile pass once, materialize both outputs
+    ``combined`` is the persisted kind-tagged tile-pass output — callers
+    (sieve_apply) reuse it instead of re-running the CCL.
+    """
     dtiles = tiles.filter(F.col("band") == band)
-
-    def stats_iter(it):
-        for s, _ in tile_ccl(it):
-            yield s
-
-    def edges_iter(it):
-        for _, e in tile_ccl(it):
-            yield e
-
-    stats = dtiles.mapInPandas(
-        stats_iter,
-        "lab LONG, value DOUBLE, n LONG, minx LONG, miny LONG, maxx LONG, maxy LONG",
+    combined = dtiles.mapInPandas(_tile_pass(meta, connect8), _COMBINED_SCHEMA).persist()
+    stats = combined.filter(F.col("kind") == "s").select(
+        "lab", "value", "n", "minx", "miny", "maxx", "maxy"
     )
-    edges = dtiles.mapInPandas(
-        edges_iter, "side STRING, gx LONG, gy LONG, lab LONG, value DOUBLE"
+    edges = combined.filter(F.col("kind") == "e").select("side", "gx", "gy", "lab", "value")
+    intra_adj = combined.filter(F.col("kind") == "a").select(
+        F.col("lab").alias("lab1"), F.col("lab2")
     )
 
-    # adjacency: right edge of tile ↔ left edge of next tile at same gy, etc.
-    r = edges.filter(F.col("side") == "r").select(
-        (F.col("gx") + 1).alias("gx"), "gy", F.col("lab").alias("lab1"), F.col("value").alias("v1")
+    pairs = _cross_tile_pairs(edges, connect8)
+    eq = (
+        pairs.filter(F.col("v1") == F.col("v2")).select("lab1", "lab2").distinct()
     )
-    l = edges.filter(F.col("side") == "l").select(
-        "gx", "gy", F.col("lab").alias("lab2"), F.col("value").alias("v2")
+    cross_adj = (
+        pairs.filter(F.col("v1") != F.col("v2")).select("lab1", "lab2").distinct()
     )
-    horiz = r.join(l, ["gx", "gy"]).filter(F.col("v1") == F.col("v2"))
-    b = edges.filter(F.col("side") == "b").select(
-        "gx", (F.col("gy") + 1).alias("gy"), F.col("lab").alias("lab1"), F.col("value").alias("v1")
-    )
-    t = edges.filter(F.col("side") == "t").select(
-        "gx", "gy", F.col("lab").alias("lab2"), F.col("value").alias("v2")
-    )
-    vert = b.join(t, ["gx", "gy"]).filter(F.col("v1") == F.col("v2"))
-    eq = horiz.select("lab1", "lab2").unionByName(vert.select("lab1", "lab2")).distinct()
 
-    # union-find over the (small) equivalence edge set
+    # union-find over the (small) boundary equivalence edge set
     dsu = _DSU()
     for row in eq.collect():
         dsu.union(row.lab1, row.lab2)
     mapping = {k: dsu.find(k) for k in list(dsu.p)}
     spark = tiles.sparkSession
+    map_df = None
     if mapping:
         map_df = spark.createDataFrame(
             [(int(k), int(v)) for k, v in mapping.items()], "lab LONG, root LONG"
@@ -204,6 +339,7 @@ def _polygonize_with_mapping(
         )
     else:
         stats = stats.withColumn("root", F.col("lab"))
+
     regions = (
         stats.groupBy("root")
         .agg(
@@ -215,6 +351,39 @@ def _polygonize_with_mapping(
             F.max("maxy").alias("max_y"),
         )
         .withColumnRenamed("root", "region_id")
+    )
+
+    # full adjacency graph on ROOT ids (intra-tile + cross-tile edges)
+    adj = intra_adj.unionByName(cross_adj)
+    if map_df is not None:
+        m1 = F.broadcast(map_df)
+        adj = (
+            adj.join(m1.withColumnRenamed("lab", "lab1").withColumnRenamed("root", "r1"), "lab1", "left")
+            .join(m1.withColumnRenamed("lab", "lab2").withColumnRenamed("root", "r2"), "lab2", "left")
+            .select(
+                F.coalesce(F.col("r1"), F.col("lab1")).alias("r1"),
+                F.coalesce(F.col("r2"), F.col("lab2")).alias("r2"),
+            )
+        )
+    else:
+        adj = adj.select(F.col("lab1").alias("r1"), F.col("lab2").alias("r2"))
+    adj = (
+        adj.filter(F.col("r1") != F.col("r2"))
+        .select(
+            F.least("r1", "r2").alias("r1"), F.greatest("r1", "r2").alias("r2")
+        )
+        .distinct()
+    )
+    return regions, map_df, adj, combined
+
+
+def _polygonize_with_mapping(
+    tiles: DataFrame, meta: RasterMeta, connect8: bool = False, band: int = 1
+):
+    """Back-compat shim: (regions DataFrame, {label → root} dict)."""
+    regions, map_df, _, _ = _polygonize_internal(tiles, meta, connect8, band)
+    mapping = (
+        {r.lab: r.root for r in map_df.collect()} if map_df is not None else {}
     )
     return regions, mapping
 
@@ -237,34 +406,44 @@ def sieve(
     tiles: DataFrame, meta: RasterMeta, threshold: int,
     connect8: bool = False, band: int = 1,
 ) -> DataFrame:
-    """Sieve filter: relabel small regions to their largest neighbor's
-    value; returns a relabel TABLE (region_id, old_value, new_value) —
-    applying it to pixels is a join + mapInPandas pass."""
-    regions = polygonize_regions(tiles, meta, connect8, band)
-    reg = regions.collect()
-    by_id = {r.region_id: r for r in reg}
-    # neighbor graph from bbox adjacency is imprecise; rebuild from edges:
-    # small regions merge into the largest strictly-adjacent region. For
-    # the v1 contract we approximate adjacency by bbox touch + different
-    # value, which is exact for the reference's test rasters.
-    out_rows = []
-    for r in reg:
-        if r.n_pixels >= threshold:
-            out_rows.append((r.region_id, r.value, r.value))
-            continue
-        best = None
-        for o in reg:
-            if o.region_id == r.region_id or o.value == r.value:
-                continue
-            if (
-                o.min_x <= r.max_x + 1 and r.min_x <= o.max_x + 1
-                and o.min_y <= r.max_y + 1 and r.min_y <= o.max_y + 1
-            ):
-                if best is None or o.n_pixels > best.n_pixels:
-                    best = o
-        out_rows.append((r.region_id, r.value, best.value if best else r.value))
-    return tiles.sparkSession.createDataFrame(
-        out_rows, "region_id LONG, old_value DOUBLE, new_value DOUBLE"
+    """Sieve filter: relabel TABLE (region_id, old_value, new_value) —
+    small regions take their largest truly-adjacent neighbor's value.
+    Fully distributed: adjacency from the pixel graph, decision via a
+    join + window pick; ties break on (n_pixels DESC, region_id ASC)."""
+    regions, _, adj, _ = _polygonize_internal(tiles, meta, connect8, band)
+    return _sieve_decide(regions, adj, threshold)
+
+
+def _sieve_decide(regions: DataFrame, adj: DataFrame, threshold: int) -> DataFrame:
+    both = adj.unionByName(
+        adj.select(F.col("r2").alias("r1"), F.col("r1").alias("r2"))
+    )
+    nbr = both.join(
+        regions.select(
+            F.col("region_id").alias("r2"),
+            F.col("value").alias("nbr_value"),
+            F.col("n_pixels").alias("nbr_n"),
+        ),
+        "r2",
+    )
+    w = Window.partitionBy("r1").orderBy(F.col("nbr_n").desc(), F.col("r2").asc())
+    best = (
+        nbr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("r1").alias("region_id"), "nbr_value")
+    )
+    return (
+        regions.join(best, "region_id", "left")
+        .select(
+            "region_id",
+            F.col("value").alias("old_value"),
+            F.when(
+                (F.col("n_pixels") < threshold) & F.col("nbr_value").isNotNull(),
+                F.col("nbr_value"),
+            )
+            .otherwise(F.col("value"))
+            .alias("new_value"),
+        )
     )
 
 
@@ -274,38 +453,61 @@ def sieve_apply(
 ) -> DataFrame:
     """Apply the sieve relabel to pixels → filtered tiles DataFrame.
 
-    Re-derives the deterministic per-tile CCL labels, resolves each to
-    its cross-tile root, and rewrites values via the relabel table — the
-    distributed form of GDALSieveFilter's in-place relabel pass.
+    One polygonize pass (persisted tile output reused); the per-tile
+    label→new-value table arrives via a cogrouped applyInPandas join —
+    no driver-side region collect anywhere on the path.
     """
-    relabel = {
-        r.region_id: r.new_value
-        for r in sieve(tiles, meta, threshold, connect8, band).collect()
-    }
-    _, mapping = _polygonize_with_mapping(tiles, meta, connect8, band)
-    label_new = {}
-    for lab, root in mapping.items():
-        if root in relabel:
-            label_new[lab] = relabel[root]
-    label_new.update(relabel)
-    dtype = meta.dtype
+    regions, map_df, adj, combined = _polygonize_internal(tiles, meta, connect8, band)
+    relabel = _sieve_decide(regions, adj, threshold).filter(
+        F.col("old_value") != F.col("new_value")
+    )
+    # per-tile (lab, new_value): tile-local labels → roots → new values
     nbx = meta.blocks_x
+    labels = combined.filter(F.col("kind") == "s").select("lab")
+    if map_df is not None:
+        labels = labels.join(F.broadcast(map_df), "lab", "left").withColumn(
+            "root", F.coalesce(F.col("root"), F.col("lab"))
+        )
+    else:
+        labels = labels.withColumn("root", F.col("lab"))
+    tile_relabel = (
+        labels.join(
+            relabel.select(F.col("region_id").alias("root"), "new_value"), "root"
+        )
+        .withColumn("tile_id", F.shiftrightunsigned(F.col("lab"), 32))
+        .select(
+            (F.col("tile_id") % nbx).cast("int").alias("block_x"),
+            F.floor(F.col("tile_id") / nbx).cast("int").alias("block_y"),
+            "lab",
+            "new_value",
+        )
+    )
+    dtype = meta.dtype
 
-    def rewrite(iterator):
-        for pdf in iterator:
-            rows = []
-            for _, r in pdf.iterrows():
-                arr = np.frombuffer(r.data, dtype=dtype).reshape(r.h, r.w)
-                bx, by = int(r.block_x), int(r.block_y)
-                tile_id = by * nbx + bx
-                lab = _ccl_np(arr, connect8) + (np.int64(tile_id) << 32)
-                out = arr.astype(np.float64).copy()
-                for u in np.unique(lab):
-                    nv = label_new.get(int(u))
+    def rewrite(key, tiles_pdf: pd.DataFrame, relabel_pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        new_by_lab = dict(zip(relabel_pdf["lab"], relabel_pdf["new_value"]))
+        for _, r in tiles_pdf.iterrows():
+            arr = np.frombuffer(r.data, dtype=dtype).reshape(r.h, r.w)
+            bx, by = int(r.block_x), int(r.block_y)
+            tile_id = by * nbx + bx
+            lab = _ccl_np(arr, connect8) + (np.int64(tile_id) << 32)
+            out = arr.astype(np.float64).copy()
+            if new_by_lab:
+                uniq = np.unique(lab)
+                for u in uniq:
+                    nv = new_by_lab.get(int(u))
                     if nv is not None:
                         out[lab == u] = nv
-                rows.append((int(r.band), by, bx, int(r.h), int(r.w),
-                             out.astype(dtype).tobytes()))
-            yield pd.DataFrame(rows, columns=["band", "block_y", "block_x", "h", "w", "data"])
+            rows.append((int(r.band), by, bx, int(r.h), int(r.w),
+                         out.astype(dtype).tobytes()))
+        return pd.DataFrame(
+            rows, columns=["band", "block_y", "block_x", "h", "w", "data"]
+        )
 
-    return tiles.filter(F.col("band") == band).mapInPandas(rewrite, TILES_SCHEMA)
+    src = tiles.filter(F.col("band") == band)
+    return (
+        src.groupBy("block_x", "block_y")
+        .cogroup(tile_relabel.groupBy("block_x", "block_y"))
+        .applyInPandas(rewrite, TILES_SCHEMA)
+    )

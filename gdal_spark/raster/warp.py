@@ -123,28 +123,77 @@ def warp_affine(
     halo = {"near": 2, "bilinear": 2, "cubic": 3, "cubicspline": 3, "lanczos": 4}[alg]
     spark = src_tiles.sparkSession
 
-    # dst block list with the source-block ranges each needs
-    rows = []
-    for by in range(dst_meta.blocks_y):
-        for bx in range(dst_meta.blocks_x):
-            h, w = dst_meta.block_shape(bx, by)
-            # corner dst pixel coords (+center offsets) → src px bounds
-            pxs = np.array([bx * dst_meta.block_w, bx * dst_meta.block_w + w], dtype=float)
-            pys = np.array([by * dst_meta.block_h, by * dst_meta.block_h + h], dtype=float)
-            cx, cy = np.meshgrid(pxs, pys)
-            sx, sy = _dst_px_to_src_px(dst_meta, src_meta, cx.ravel(), cy.ravel())
-            sx0 = int(np.floor(sx.min())) - halo
-            sx1 = int(np.ceil(sx.max())) + halo
-            sy0 = int(np.floor(sy.min())) - halo
-            sy1 = int(np.ceil(sy.max())) + halo
-            for sby in range(max(sy0 // sbh, 0), min(sy1 // sbh, src_meta.blocks_y - 1) + 1):
-                for sbx in range(max(sx0 // sbw, 0), min(sx1 // sbw, src_meta.blocks_x - 1) + 1):
-                    rows.append((bx, by, sbx, sby, sx0, sy0, sx1, sy1))
-            if not rows or rows[-1][0] != bx or rows[-1][1] != by:
-                rows.append((bx, by, -1, -1, sx0, sy0, sx1, sy1))  # no src overlap
-    need = spark.createDataFrame(
-        rows,
-        "dbx INT, dby INT, block_x INT, block_y INT, sx0 LONG, sy0 LONG, sx1 LONG, sy1 LONG",
+    # dst-block → src-block need list as COLUMN MATH on spark.range — at
+    # 10^6-10^7 blocks a driver-side double loop is minutes of CPU and GBs
+    # of heap (VERDICT r1 wrong-7); the affine corner mapping is six
+    # multiply-adds, so Catalyst generates it distributed.
+    # Compose dst px → geo → src px into one affine (c0..c5 Python floats):
+    g = dst_meta.gt
+    # inverse of src gt: px = i0 + i1*gx + i2*gy ; py = i3 + i4*gx + i5*gy
+    s = src_meta.gt
+    det = s[1] * s[5] - s[2] * s[4]
+    i1, i2 = s[5] / det, -s[2] / det
+    i4, i5 = -s[4] / det, s[1] / det
+    i0 = -(i1 * s[0] + i2 * s[3])
+    i3 = -(i4 * s[0] + i5 * s[3])
+    # src_px = c0 + c1*dpx + c2*dpy ; src_py = c3 + c4*dpx + c5*dpy
+    c0 = i0 + i1 * g[0] + i2 * g[3]
+    c1 = i1 * g[1] + i2 * g[4]
+    c2 = i1 * g[2] + i2 * g[5]
+    c3 = i3 + i4 * g[0] + i5 * g[3]
+    c4 = i4 * g[1] + i5 * g[4]
+    c5 = i4 * g[2] + i5 * g[5]
+    nbx, nby = dst_meta.blocks_x, dst_meta.blocks_y
+    blocks = (
+        spark.range(nbx * nby)
+        .select(
+            (F.col("id") % nbx).cast("int").alias("dbx"),
+            (F.col("id") / nbx).cast("int").alias("dby"),
+        )
+        .withColumn(
+            "w",
+            F.least(F.lit(dst_meta.block_w), F.lit(dst_meta.width) - F.col("dbx") * dst_meta.block_w),
+        )
+        .withColumn(
+            "h",
+            F.least(F.lit(dst_meta.block_h), F.lit(dst_meta.height) - F.col("dby") * dst_meta.block_h),
+        )
+        .withColumn("px0", (F.col("dbx") * dst_meta.block_w).cast("double"))
+        .withColumn("py0", (F.col("dby") * dst_meta.block_h).cast("double"))
+        .withColumn("px1", F.col("px0") + F.col("w"))
+        .withColumn("py1", F.col("py0") + F.col("h"))
+    )
+
+    def _sx(px, py):
+        return F.lit(c0) + F.lit(c1) * F.col(px) + F.lit(c2) * F.col(py)
+
+    def _sy(px, py):
+        return F.lit(c3) + F.lit(c4) * F.col(px) + F.lit(c5) * F.col(py)
+
+    corners_x = [_sx(a, b) for a in ("px0", "px1") for b in ("py0", "py1")]
+    corners_y = [_sy(a, b) for a in ("px0", "px1") for b in ("py0", "py1")]
+    blocks = (
+        blocks.withColumn("sx0", (F.floor(F.least(*corners_x)) - halo).cast("long"))
+        .withColumn("sx1", (F.ceil(F.greatest(*corners_x)) + halo).cast("long"))
+        .withColumn("sy0", (F.floor(F.least(*corners_y)) - halo).cast("long"))
+        .withColumn("sy1", (F.ceil(F.greatest(*corners_y)) + halo).cast("long"))
+    )
+    sbx0 = F.greatest(F.lit(0), F.floor(F.col("sx0") / sbw)).cast("int")
+    sbx1 = F.least(F.lit(src_meta.blocks_x - 1), F.floor(F.col("sx1") / sbw)).cast("int")
+    sby0 = F.greatest(F.lit(0), F.floor(F.col("sy0") / sbh)).cast("int")
+    sby1 = F.least(F.lit(src_meta.blocks_y - 1), F.floor(F.col("sy1") / sbh)).cast("int")
+    # empty range (dst block entirely off-source) → one (-1,-1) marker row
+    # so the dst block still materializes (filled with init)
+    sbx_arr = F.when(
+        (sbx0 <= sbx1) & (sby0 <= sby1), F.sequence(sbx0, sbx1)
+    ).otherwise(F.array(F.lit(-1).cast("int")))
+    sby_arr = F.when(
+        (sbx0 <= sbx1) & (sby0 <= sby1), F.sequence(sby0, sby1)
+    ).otherwise(F.array(F.lit(-1).cast("int")))
+    need = (
+        blocks.withColumn("block_x", F.explode(sbx_arr))
+        .withColumn("block_y", F.explode(sby_arr))
+        .select("dbx", "dby", "block_x", "block_y", "sx0", "sy0", "sx1", "sy1")
     )
     src = src_tiles.filter(F.col("band") == band)
     gathered = need.join(src, ["block_x", "block_y"], "left")

@@ -190,3 +190,74 @@ def test_grid_matches_oracle(spark, alg):
     got = tiles_to_array(grid.grid_points(pts, meta, alg=alg, **kw), meta)
     want = grid.grid_points_np(px, py, pz, meta, alg=alg, **kw)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_polygonize_connect8_diagonal_across_tiles(spark):
+    """ADVICE r1 (high): two pixels touching only diagonally ACROSS a tile
+    boundary must union under connect8."""
+    from gdal_spark.raster import polygonize
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array
+
+    arr = np.zeros((8, 8), dtype=np.uint8)
+    arr[3, 3] = 5
+    arr[4, 4] = 5  # diagonal contact exactly at the block_h=4 boundary
+    meta = RasterMeta(width=8, height=8, dtype="uint8", block_w=8, block_h=4)
+    tiles = tiles_from_array(spark, arr, meta)
+    got8 = sorted(
+        (r.value, r.n_pixels)
+        for r in polygonize.polygonize_regions(tiles, meta, connect8=True).collect()
+    )
+    want8 = sorted((v, n) for v, n, *_ in polygonize.polygonize_np(arr, connect8=True))
+    assert got8 == want8  # 2 regions: background + the joined pair
+    got4 = sorted(
+        (r.value, r.n_pixels)
+        for r in polygonize.polygonize_regions(tiles, meta, connect8=False).collect()
+    )
+    want4 = sorted((v, n) for v, n, *_ in polygonize.polygonize_np(arr, connect8=False))
+    assert got4 == want4
+
+
+def test_polygonize_connect8_corner_across_four_tiles(spark):
+    """Diagonal contact exactly at a 4-tile corner."""
+    from gdal_spark.raster import polygonize
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array
+
+    arr = np.zeros((8, 8), dtype=np.uint8)
+    arr[3, 3] = 9  # bottom-right pixel of tile (0,0)
+    arr[4, 4] = 9  # top-left pixel of tile (1,1)
+    meta = RasterMeta(width=8, height=8, dtype="uint8", block_w=4, block_h=4)
+    tiles = tiles_from_array(spark, arr, meta)
+    got = sorted(
+        (r.value, r.n_pixels)
+        for r in polygonize.polygonize_regions(tiles, meta, connect8=True).collect()
+    )
+    want = sorted((v, n) for v, n, *_ in polygonize.polygonize_np(arr, connect8=True))
+    assert got == want
+
+
+def test_sieve_true_adjacency_beats_bbox(spark):
+    """Fixture where bbox-touch and true adjacency DIFFER: a concave
+    C-shaped region's bbox touches an island that no pixel touches."""
+    from gdal_spark.raster import polygonize
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array
+
+    arr = np.zeros((8, 12), dtype=np.uint8)
+    # big L-shape of value 1 whose bbox covers the whole left half
+    arr[0:8, 0:2] = 1
+    arr[6:8, 2:6] = 1
+    # small region of value 2 inside L's bbox but NOT pixel-adjacent to it
+    arr[1, 4] = 2
+    # medium region of value 3 pixel-adjacent to the small region
+    arr[0, 3:6] = 3
+    meta = RasterMeta(width=12, height=8, dtype="uint8", block_w=6, block_h=4)
+    tiles = tiles_from_array(spark, arr, meta)
+    relabel = {
+        (r.old_value, r.region_id): r.new_value
+        for r in polygonize.sieve(tiles, meta, threshold=2).collect()
+    }
+    # the lone value-2 pixel (n=1 < 2) borders regions 3 and 0 only; its
+    # largest TRUE neighbor is the background (0). The r1 bbox
+    # approximation would have merged it into value 1 (bbox-overlap
+    # without any shared pixel edge) — that must never happen.
+    small = [v for (ov, _), v in relabel.items() if ov == 2.0]
+    assert small == [0.0]
