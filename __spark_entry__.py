@@ -504,7 +504,42 @@ def q_dedup_exact(spark, sf_dir):
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    out = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    out = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=None)
+    return out.select(
+        F.col("id1"),
+        F.col("id2"),
+        F.col("common").cast("long").alias("common"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+    ).orderBy("id1", "id2")
+
+
+@_register(
+    "dedup_ngram_jaccard_capped",
+    """
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+      FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+    keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 4),
+    sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN keep USING (sh)),
+    sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.id1, p.id2, CAST(p.common AS BIGINT) AS common,
+           CAST(s1.nsh AS BIGINT) AS n1, CAST(s2.nsh AS BIGINT) AS n2
+    FROM pairs p JOIN sizes s1 ON p.id1 = s1.doc_id JOIN sizes s2 ON p.id2 = s2.doc_id
+    WHERE CAST(p.common AS DOUBLE) / (s1.nsh + s2.nsh - p.common) >= 0.2e0
+    ORDER BY id1, id2
+    """,
+)
+def q_dedup_ngram_jaccard_capped(spark, sf_dir):
+    """The SCALE path: stop-shingles (doc frequency > cap) dropped before
+    the self-join — the subquadratic default at corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=4)
     return out.select(
         F.col("id1"),
         F.col("id2"),
@@ -1232,6 +1267,43 @@ def _oracle_warp() -> str:
 
 
 _lazy_oracle("warp_affine_checksum", _oracle_warp)
+
+
+def _warp_reduce_q(alg):
+    def q(spark, sf_dir):
+        from gdal_spark.raster.checksum import checksum_df
+        from gdal_spark.raster.model import RasterMeta, synth_raster
+        from gdal_spark.raster.warp import warp_affine
+
+        src_meta = _terrain_meta()
+        dst_meta = RasterMeta(width=30, height=20, dtype="float64", block_w=10,
+                              block_h=10, gt=(995.0, 32.0, 0.0, 5005.0, 0.0, -32.0))
+        out = warp_affine(synth_raster(spark, src_meta), src_meta, dst_meta,
+                          alg=alg, init=-1.0)
+        cs = checksum_df(out, dst_meta)
+        return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+    return q
+
+
+def _warp_reduce_oracle(alg):
+    def o():
+        from gdal_spark.raster.checksum import checksum_np
+        from gdal_spark.raster.model import RasterMeta
+        from gdal_spark.raster.warp import warp_affine_np
+
+        full, src_meta = _terrain_full_np()
+        dst_meta = RasterMeta(width=30, height=20, dtype="float64", block_w=10,
+                              block_h=10, gt=(995.0, 32.0, 0.0, 5005.0, 0.0, -32.0))
+        img = warp_affine_np(full, src_meta, dst_meta, alg=alg, init=-1.0)
+        return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+    return o
+
+
+for _alg in ("average", "mode", "sum", "rms"):
+    _QUERIES[f"warp_{_alg}_checksum"] = _warp_reduce_q(_alg)
+    _lazy_oracle(f"warp_{_alg}_checksum", _warp_reduce_oracle(_alg))
 
 
 def _grid_fixture_points():

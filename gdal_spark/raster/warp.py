@@ -110,6 +110,178 @@ def _dst_px_to_src_px(dst_meta: RasterMeta, src_meta: RasterMeta, px, py):
     return src_meta.geo_to_px(gx, gy)
 
 
+REDUCE_ALGS = ("average", "rms", "sum", "min", "max", "mode", "med", "q1", "q3")
+_EPS = 1e-10
+
+
+def warp_reduce_np(
+    win: np.ndarray,
+    dst_meta: RasterMeta,
+    src_meta: RasterMeta,
+    dbx: int,
+    dby: int,
+    h: int,
+    w: int,
+    wx0: int,
+    wy0: int,
+    alg: str,
+    init: float,
+) -> np.ndarray:
+    """Reducing warp kernels (GWKAverageOrModeThread,
+    alg/gdalwarpkernel.cpp:6508): each dst pixel reduces over the source
+    pixels inside its transformed footprint rect.
+
+    Mirrored semantics: footprint = dst pixel corner box mapped to src px
+    space; iSrcMin = max(floor(min+EPS), 0), iSrcMax = min(ceil(max-EPS),
+    size), bumped when empty; boundary rows/cols weighted by fractional
+    coverage (average/rms/sum); min/max/med/q1/q3 ignore weights;
+    quantile index = ceil(q*n - 1) over the sorted footprint values
+    (gdalwarpkernel.cpp:7605). Deviation: mode ties pick the LOWEST value
+    (GDAL default GWKTS_First is scan-order-dependent).
+
+    ``win`` holds src pixels with top-left at (wx0, wy0). Vectorized over
+    the whole dst block: a loop over footprint OFFSETS (bounded by the
+    per-axis downscale ratio), each step a full-block array op; mode and
+    quantiles via lexsort + segment reduction.
+    """
+    sw, sh = src_meta.width, src_meta.height
+    dy, dx = np.meshgrid(
+        np.arange(h) + dby * dst_meta.block_h,
+        np.arange(w) + dbx * dst_meta.block_w,
+        indexing="ij",
+    )
+    dx = dx.ravel().astype(np.float64)
+    dy = dy.ravel().astype(np.float64)
+    ax0, ay0 = _dst_px_to_src_px(dst_meta, src_meta, dx, dy)
+    ax1, ay1 = _dst_px_to_src_px(dst_meta, src_meta, dx + 1.0, dy + 1.0)
+    xmin = np.minimum(ax0, ax1)
+    xmax = np.maximum(ax0, ax1)
+    ymin = np.minimum(ay0, ay1)
+    ymax = np.maximum(ay0, ay1)
+    ok = (xmax > -_EPS) & (xmin < sw + _EPS) & (ymax > -_EPS) & (ymin < sh + _EPS)
+    isx0 = np.maximum(np.floor(xmin + _EPS), 0.0).astype(np.int64)
+    isx1 = np.minimum(np.ceil(xmax - _EPS), sw).astype(np.int64)
+    bump = (isx0 == isx1) & (isx1 < sw)
+    isx1[bump] += 1
+    isy0 = np.maximum(np.floor(ymin + _EPS), 0.0).astype(np.int64)
+    isy1 = np.minimum(np.ceil(ymax - _EPS), sh).astype(np.int64)
+    bump = (isy0 == isy1) & (isy1 < sh)
+    isy1[bump] += 1
+    ok &= (isx1 > isx0) & (isy1 > isy0)
+    n = h * w
+    a = win.astype(np.float64)
+
+    kx = int((isx1 - isx0)[ok].max()) if ok.any() else 0
+    ky = int((isy1 - isy0)[ok].max()) if ok.any() else 0
+
+    weighted = alg in ("average", "rms", "sum")
+    if weighted:
+        num = np.zeros(n)
+        den = np.zeros(n)
+    elif alg == "max":
+        acc = np.full(n, -np.inf)
+        seen = np.zeros(n, dtype=bool)
+    elif alg == "min":
+        acc = np.full(n, np.inf)
+        seen = np.zeros(n, dtype=bool)
+    else:  # mode / quantiles: collect triples
+        t_pix, t_val, t_w = [], [], []
+
+    pix_idx = np.arange(n)
+    for l in range(ky):
+        yy = isy0 + l
+        yv = ok & (yy < isy1)
+        # COMPUTE_WEIGHT_Y
+        wy = np.ones(n)
+        single = (isy0 + 1) == isy1
+        first = yy == isy0
+        last = (yy + 1) == isy1
+        wy = np.where(first & ~single, 1.0 - (ymin - isy0), wy)
+        wy = np.where(last & ~first, 1.0 - (isy1 - ymax), wy)
+        for k in range(kx):
+            xx = isx0 + k
+            v_ok = yv & (xx < isx1)
+            if not v_ok.any():
+                continue
+            wx = np.ones(n)
+            xsingle = (isx0 + 1) == isx1
+            xfirst = xx == isx0
+            xlast = (xx + 1) == isx1
+            wx = np.where(xfirst & ~xsingle, 1.0 - (xmin - isx0), wx)
+            wx = np.where(xlast & ~xfirst, 1.0 - (isx1 - xmax), wx)
+            wgt = wx * wy
+            yc = np.clip(yy - wy0, 0, a.shape[0] - 1)
+            xc = np.clip(xx - wx0, 0, a.shape[1] - 1)
+            v = a[yc, xc]
+            if weighted:
+                use = v_ok & (wgt > 0)
+                if alg == "rms":
+                    num[use] += v[use] * v[use] * wgt[use]
+                else:
+                    num[use] += v[use] * wgt[use]
+                den[use] += wgt[use]
+            elif alg in ("min", "max"):
+                if alg == "max":
+                    upd = v_ok & (v > acc)
+                else:
+                    upd = v_ok & (v < acc)
+                acc[upd] = v[upd]
+                seen |= v_ok
+            else:
+                t_pix.append(pix_idx[v_ok])
+                t_val.append(v[v_ok])
+                t_w.append(wgt[v_ok])
+
+    out = np.full(n, init)
+    if weighted:
+        nz = den > 0
+        if alg == "average":
+            out[nz] = num[nz] / den[nz]
+        elif alg == "rms":
+            out[nz] = np.sqrt(num[nz] / den[nz])
+        else:  # sum
+            out[nz] = num[nz]
+    elif alg in ("min", "max"):
+        out[seen] = acc[seen]
+    else:
+        if t_pix:
+            P = np.concatenate(t_pix)
+            V = np.concatenate(t_val)
+            W = np.concatenate(t_w)
+            order = np.lexsort((V, P))
+            P, V, W = P[order], V[order], W[order]
+            if alg == "mode":
+                # sum weights per (pixel, value) group, then max per pixel
+                # (ties → lowest value, deterministic)
+                new_grp = np.empty(len(P), dtype=bool)
+                new_grp[0] = True
+                new_grp[1:] = (P[1:] != P[:-1]) | (V[1:] != V[:-1])
+                gidx = np.cumsum(new_grp) - 1
+                gw = np.zeros(gidx[-1] + 1)
+                np.add.at(gw, gidx, W)
+                gp = P[new_grp]
+                gv = V[new_grp]
+                # per-pixel argmax over groups; among tied groups the
+                # first (lowest value, since sorted by (pixel, value)) wins
+                best = np.full(n, -np.inf)
+                np.maximum.at(best, gp, gw)
+                cand = np.flatnonzero(gw == best[gp])
+                _, first = np.unique(gp[cand], return_index=True)
+                win_g = cand[first]
+                out[gp[win_g]] = gv[win_g]
+            else:
+                q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[alg]
+                seg_start = np.flatnonzero(
+                    np.concatenate(([True], P[1:] != P[:-1]))
+                )
+                seg_pix = P[seg_start]
+                seg_len = np.diff(np.append(seg_start, len(P)))
+                qi = np.ceil(q * seg_len - 1).astype(np.int64)
+                qi = np.clip(qi, 0, seg_len - 1)
+                out[seg_pix] = V[seg_start + qi]
+    return out.reshape(h, w)
+
+
 def warp_affine(
     src_tiles: DataFrame,
     src_meta: RasterMeta,
@@ -120,7 +292,10 @@ def warp_affine(
 ) -> DataFrame:
     """Warp src raster onto the dst grid; returns float64 dst tiles."""
     sbw, sbh = src_meta.block_w, src_meta.block_h
-    halo = {"near": 2, "bilinear": 2, "cubic": 3, "cubicspline": 3, "lanczos": 4}[alg]
+    if alg in REDUCE_ALGS:
+        halo = 2  # footprint = corner box; +2 covers the ceil/bump slack
+    else:
+        halo = {"near": 2, "bilinear": 2, "cubic": 3, "cubicspline": 3, "lanczos": 4}[alg]
     spark = src_tiles.sparkSession
 
     # dst-block → src-block need list as COLUMN MATH on spark.range — at
@@ -232,7 +407,11 @@ def warp_affine(
                         y0 - gy0 : y1 - gy0, x0 - gx0 : x1 - gx0
                     ]
                     got_any = True
-            if got_any:
+            if got_any and alg in REDUCE_ALGS:
+                out = warp_reduce_np(
+                    win, dst_meta, src_meta, dbx, dby, h, w, wx0, wy0, alg, init
+                )
+            elif got_any:
                 dy, dx = np.meshgrid(
                     np.arange(h) + dby * dst_meta.block_h,
                     np.arange(w) + dbx * dst_meta.block_w,
@@ -266,6 +445,8 @@ def warp_affine_np(
 ) -> np.ndarray:
     """Single-node oracle with the identical sampling path."""
     h, w = dst_meta.height, dst_meta.width
+    if alg in REDUCE_ALGS:
+        return warp_reduce_np(src, dst_meta, src_meta, 0, 0, h, w, 0, 0, alg, init)
     dy, dx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     sx, sy = _dst_px_to_src_px(dst_meta, src_meta, dx.ravel() + 0.5, dy.ravel() + 0.5)
     vals = warp_sample_np(src, sx, sy, alg, 0, 0, src_meta.width, src_meta.height)

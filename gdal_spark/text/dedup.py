@@ -77,25 +77,42 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | float | None = 0.005,
 ) -> DataFrame:
     """All doc pairs (id1 < id2) with shingle-set Jaccard ≥ threshold.
 
     Output: (id1, id2, common, n1, n2) — Jaccard = common/(n1+n2-common),
     emitted as exact integers so oracles compare without float hashing.
-    ``max_df`` drops shingles present in more than that many docs before
-    the self-join (the subquadratic lever at corpus scale).
+
+    ``max_df`` drops stop-shingles (present in more docs than the cap)
+    before the self-join — the subquadratic lever at corpus scale. It
+    DEFAULTS ON (0.5% of the corpus; floats < 1 are corpus fractions,
+    ints are absolute document counts) because the uncapped self-join
+    grows quadratically on hot shingles; pass ``max_df=None`` explicitly
+    for the exact all-pairs form (small inputs / oracle checks only —
+    affected pairs are only those sharing *solely* stop-shingles, which
+    sit far below any useful threshold at scale anyway).
     """
     sh = shingles(df, id_col, text_col, n)
     # join on the 8-byte hash of the shingle, not the string
     sh = sh.select("id", F.xxhash64("shingle").alias("sh")).distinct()
     if max_df is not None:
         df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-        sh = sh.join(
-            F.broadcast(df_counts.filter(F.col("__df") <= max_df).select("sh")),
-            "sh",
-            "inner",
-        )
+        if isinstance(max_df, float) and max_df < 1:
+            total = df.select(
+                F.count(F.lit(1)).cast("double").alias("__total")
+            )
+            cap = F.greatest(
+                F.lit(2.0), F.ceil(F.col("__total") * F.lit(max_df)).cast("double")
+            )
+            keep = (
+                df_counts.crossJoin(F.broadcast(total))
+                .filter(F.col("__df") <= cap)
+                .select("sh")
+            )
+        else:
+            keep = df_counts.filter(F.col("__df") <= int(max_df)).select("sh")
+        sh = sh.join(F.broadcast(keep), "sh", "inner")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
     a = sh.select(F.col("id").alias("id1"), "sh")
     b = sh.select(F.col("id").alias("id2"), "sh")

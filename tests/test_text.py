@@ -36,7 +36,7 @@ def test_ngram_jaccard_pairs(spark, docs):
     df, base = docs
     got = {
         (r.id1, r.id2): (r.common, r.n1, r.n2)
-        for r in dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.3, max_df=None).collect()
     }
     # python oracle
     want = {}

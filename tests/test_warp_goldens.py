@@ -104,3 +104,56 @@ def test_distributed_warp_matches_goldens(spark):
     )
     want = _read_tiff_gray(f"{REF}/testgdalwarp14.tif")
     assert np.abs(_to_byte(out2).astype(int) - want.astype(int)).max() <= 1
+
+
+# ---------------------------------------------------------------------------
+# reducing resamplers (GWKAverageOrMode family)
+# ---------------------------------------------------------------------------
+
+def _terrain():
+    from gdal_spark.raster.model import RasterMeta, synth_block_np
+
+    meta = RasterMeta(width=96, height=64, dtype="float32", block_w=32, block_h=32,
+                      gt=(1000.0, 10.0, 0.0, 5000.0, 0.0, -10.0))
+    full = np.zeros((64, 96), dtype="float32")
+    for by in range(meta.blocks_y):
+        for bx in range(meta.blocks_x):
+            h, w = meta.block_shape(bx, by)
+            full[by * 32 : by * 32 + h, bx * 32 : bx * 32 + w] = synth_block_np(bx, by, h, w, meta)
+    return full, meta
+
+
+@pytest.mark.parametrize("alg", ["average", "rms", "sum", "min", "max", "mode", "med", "q1", "q3"])
+def test_warp_reduce_distributed_matches_numpy(spark, alg):
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array, tiles_to_array
+    from gdal_spark.raster.warp import warp_affine, warp_affine_np
+
+    full, src_meta = _terrain()
+    # 3x downscale, slightly offset grid → fractional footprint weights
+    dst_meta = RasterMeta(width=30, height=20, dtype="float64", block_w=10, block_h=10,
+                          gt=(995.0, 32.0, 0.0, 5005.0, 0.0, -32.0))
+    got = tiles_to_array(
+        warp_affine(tiles_from_array(spark, full, src_meta), src_meta, dst_meta,
+                    alg=alg, init=-1.0),
+        dst_meta,
+    )
+    want = warp_affine_np(full, src_meta, dst_meta, alg=alg, init=-1.0)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("dst_size", [(1, 1), (10, 10), (7, 13)])
+def test_warp_sum_preserving(spark, dst_size):
+    """-r sum preserves the total (test_gdalwarp_lib.py:3495 property):
+    footprint weights must tile the source exactly."""
+    from gdal_spark.raster.model import RasterMeta, byte_fixture
+    from gdal_spark.raster.warp import warp_affine_np
+
+    arr, meta = byte_fixture()
+    w, h = dst_size
+    # same geographic extent, different resolution
+    sx = meta.gt[1] * meta.width / w
+    sy = meta.gt[5] * meta.height / h
+    dst = RasterMeta(width=w, height=h, dtype="float64", block_w=w, block_h=h,
+                     gt=(meta.gt[0], sx, 0.0, meta.gt[3], 0.0, sy))
+    out = warp_affine_np(arr.astype(np.float64), meta, dst, alg="sum", init=0.0)
+    assert abs(out.sum() - float(arr.sum())) < 1e-6 * arr.sum()
