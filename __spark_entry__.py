@@ -1306,6 +1306,108 @@ for _alg in ("average", "mode", "sum", "rms"):
     _lazy_oracle(f"warp_{_alg}_checksum", _warp_reduce_oracle(_alg))
 
 
+@_register("warp_utm_to_4326_checksum")
+def q_warp_utm_to_4326(spark, sf_dir):
+    """gdalwarp -s_srs EPSG:32611 -t_srs EPSG:4326 over the byte.tif
+    fixture grid (Krüger-series transform; series independence proven vs
+    Redfearn in tests/test_crs.py)."""
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, byte_fixture, tiles_from_array
+    from gdal_spark.raster.warp import suggested_warp_output, warp_crs
+
+    arr, meta = byte_fixture()
+    mb = RasterMeta(width=20, height=20, dtype="uint8", block_w=8, block_h=8, gt=meta.gt)
+    dst = suggested_warp_output(mb, "EPSG:32611", "EPSG:4326", block_w=10, block_h=10)
+    out = warp_crs(tiles_from_array(spark, arr, mb), mb, dst,
+                   "EPSG:32611", "EPSG:4326", alg="near", init=0.0)
+    cs = checksum_df(out, dst)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_warp_utm() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.model import RasterMeta, byte_fixture
+    from gdal_spark.raster.warp import suggested_warp_output, warp_crs_np
+
+    arr, meta = byte_fixture()
+    mb = RasterMeta(width=20, height=20, dtype="uint8", block_w=8, block_h=8, gt=meta.gt)
+    dst = suggested_warp_output(mb, "EPSG:32611", "EPSG:4326", block_w=10, block_h=10)
+    img = warp_crs_np(arr, mb, dst, "EPSG:32611", "EPSG:4326", alg="near", init=0.0)
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("warp_utm_to_4326_checksum", _oracle_warp_utm)
+
+
+@_register("reproject_points_utm")
+def q_reproject_points_utm(spark, sf_dir):
+    """Vector reprojection 4326 → UTM 33N over customer-derived points
+    inside the zone; outputs decimeter-integers for exact comparison."""
+    from gdal_spark.functions.st import st_makepoint
+    from gdal_spark.geometry import wkb as _wkb
+    from gdal_spark.operators.vector_pipeline import VectorPipeline
+
+    cust = _with_lonlat(_t(spark, sf_dir, "customer"), "c_custkey").filter(
+        (F.col("lon") >= 12.0) & (F.col("lon") <= 18.0)
+        & (F.col("lat") >= -79.0) & (F.col("lat") <= 83.0)
+        & (F.col("c_custkey") < 2000)
+    )
+    pts = cust.select("c_custkey", st_makepoint(F.col("lon"), F.col("lat")).alias("geometry"))
+    out = VectorPipeline(pts).reproject("EPSG:4326", "EPSG:32633").df
+
+    @F.pandas_udf("x DOUBLE, y DOUBLE")
+    def _xy(g):
+        import pandas as _pd
+
+        xs, ys = [], []
+        for b in g:
+            gg = _wkb.parse_wkb(bytes(b))
+            xs.append(gg[1][0])
+            ys.append(gg[1][1])
+        return _pd.DataFrame({"x": xs, "y": ys})
+
+    return out.select("c_custkey", _xy(F.col("geometry")).alias("p")).select(
+        "c_custkey",
+        F.floor(F.col("p.x") * 10 + F.lit(0.5)).cast("long").alias("x_dm"),
+        F.floor(F.col("p.y") * 10 + F.lit(0.5)).cast("long").alias("y_dm"),
+    ).orderBy("c_custkey")
+
+
+def _oracle_reproject_points() -> str:
+    """VALUES oracle: the same lon/lat derivation in NumPy + the Krüger
+    forward — validates the Spark/Arrow plumbing end to end (the series
+    itself is cross-checked against Redfearn in tests/test_crs.py)."""
+    import duckdb
+
+    from gdal_spark.geometry import crs as _crs
+    from gdal_spark.text.ref_impl import oracle_sf_dir, values_sql
+
+    con = duckdb.connect()
+    keys = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT c_custkey FROM read_parquet('{oracle_sf_dir()}/customer.parquet') "
+            "WHERE c_custkey < 2000 ORDER BY c_custkey"
+        ).fetchall()
+    ]
+    con.close()
+    k = np.array(keys, dtype=np.int64)
+    lon = sql_oracle.lon_np(k)
+    lat = sql_oracle.lat_np(k)
+    m = (lon >= 12.0) & (lon <= 18.0) & (lat >= -79.0) & (lat <= 83.0)
+    x, y = _crs._utm_tmerc(32633).forward(lon[m], lat[m])
+    rows = [
+        (int(kk), int(np.floor(xx * 10 + 0.5)), int(np.floor(yy * 10 + 0.5)))
+        for kk, xx, yy in zip(k[m], x, y)
+    ]
+    return values_sql(
+        rows, ["c_custkey", "x_dm", "y_dm"], ["BIGINT", "BIGINT", "BIGINT"], "c_custkey"
+    )
+
+
+_lazy_oracle("reproject_points_utm", _oracle_reproject_points)
+
+
 def _grid_fixture_points():
     rng = np.random.default_rng(55)
     n = 150

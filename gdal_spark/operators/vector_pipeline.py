@@ -136,13 +136,19 @@ class VectorPipeline:
         return VectorPipeline(out.df.filter(F.col(self.geom).isNotNull()), self.geom)
 
     def reproject(self, src: str, dst: str) -> "VectorPipeline":
+        """Arbitrary supported-CRS reprojection (4326 / 3857 / WGS84 UTM
+        zones) via the batched Krüger-series transforms in geometry/crs.py
+        — the engine's ogrct.cpp analogue, evaluated inside the existing
+        Arrow geometry UDF (no per-row Python)."""
         key = (src.upper(), dst.upper())
         if key == ("EPSG:4326", "EPSG:3857"):
             fn = _lonlat_to_merc
         elif key == ("EPSG:3857", "EPSG:4326"):
             fn = _merc_to_lonlat
         else:
-            raise NotImplementedError(f"v1 reprojection supports 4326<->3857, got {key}")
+            from gdal_spark.geometry import crs
+
+            fn = crs.transformer(src, dst)
         return self._with_geom(_geom_udf(lambda g: ops.transform_geom(g, fn)))
 
     def affine(self, gt: tuple) -> "VectorPipeline":

@@ -110,6 +110,21 @@ def _dst_px_to_src_px(dst_meta: RasterMeta, src_meta: RasterMeta, px, py):
     return src_meta.geo_to_px(gx, gy)
 
 
+def _make_to_src_px(dst_meta: RasterMeta, src_meta: RasterMeta, tf=None):
+    """dst px → src px mapper; ``tf`` (geo→geo, e.g. crs.transformer
+    dst_crs→src_crs) slots between the two geotransforms — the
+    GDALGenImgProjTransformer composition (alg/gdaltransformer.cpp:1398)."""
+    if tf is None:
+        return lambda px, py: _dst_px_to_src_px(dst_meta, src_meta, px, py)
+
+    def f(px, py):
+        gx, gy = dst_meta.px_to_geo(px, py)
+        gx, gy = tf(gx, gy)
+        return src_meta.geo_to_px(gx, gy)
+
+    return f
+
+
 REDUCE_ALGS = ("average", "rms", "sum", "min", "max", "mode", "med", "q1", "q3")
 _EPS = 1e-10
 
@@ -126,6 +141,7 @@ def warp_reduce_np(
     wy0: int,
     alg: str,
     init: float,
+    to_src=None,
 ) -> np.ndarray:
     """Reducing warp kernels (GWKAverageOrModeThread,
     alg/gdalwarpkernel.cpp:6508): each dst pixel reduces over the source
@@ -152,8 +168,10 @@ def warp_reduce_np(
     )
     dx = dx.ravel().astype(np.float64)
     dy = dy.ravel().astype(np.float64)
-    ax0, ay0 = _dst_px_to_src_px(dst_meta, src_meta, dx, dy)
-    ax1, ay1 = _dst_px_to_src_px(dst_meta, src_meta, dx + 1.0, dy + 1.0)
+    if to_src is None:
+        to_src = _make_to_src_px(dst_meta, src_meta)
+    ax0, ay0 = to_src(dx, dy)
+    ax1, ay1 = to_src(dx + 1.0, dy + 1.0)
     xmin = np.minimum(ax0, ax1)
     xmax = np.maximum(ax0, ax1)
     ymin = np.minimum(ay0, ay1)
@@ -370,11 +388,29 @@ def warp_affine(
         .withColumn("block_y", F.explode(sby_arr))
         .select("dbx", "dby", "block_x", "block_y", "sx0", "sy0", "sx1", "sy1")
     )
+    return _gather_and_warp(need, src_tiles, src_meta, dst_meta, alg, init, band, tf=None)
+
+
+def _gather_and_warp(
+    need: DataFrame,
+    src_tiles: DataFrame,
+    src_meta: RasterMeta,
+    dst_meta: RasterMeta,
+    alg: str,
+    init: float,
+    band: int,
+    tf,
+) -> DataFrame:
+    """Shared gather join + per-dst-block resample kernel; ``tf`` is an
+    optional geo→geo transform (CRS reprojection) composed between the
+    geotransforms."""
+    sbw, sbh = src_meta.block_w, src_meta.block_h
     src = src_tiles.filter(F.col("band") == band)
     gathered = need.join(src, ["block_x", "block_y"], "left")
     dtype = src_meta.dtype
 
     def warp_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        to_src = _make_to_src_px(dst_meta, src_meta, tf)
         dbx, dby = int(key[0]), int(key[1])
         h, w = dst_meta.block_shape(dbx, dby)
         sx0 = int(pdf.sx0.iloc[0])
@@ -409,7 +445,8 @@ def warp_affine(
                     got_any = True
             if got_any and alg in REDUCE_ALGS:
                 out = warp_reduce_np(
-                    win, dst_meta, src_meta, dbx, dby, h, w, wx0, wy0, alg, init
+                    win, dst_meta, src_meta, dbx, dby, h, w, wx0, wy0, alg, init,
+                    to_src=to_src,
                 )
             elif got_any:
                 dy, dx = np.meshgrid(
@@ -417,9 +454,7 @@ def warp_affine(
                     np.arange(w) + dbx * dst_meta.block_w,
                     indexing="ij",
                 )
-                sx, sy = _dst_px_to_src_px(
-                    dst_meta, src_meta, dx.ravel() + 0.5, dy.ravel() + 0.5
-                )
+                sx, sy = to_src(dx.ravel() + 0.5, dy.ravel() + 0.5)
                 # sample within the window's local pixel coords; valid
                 # source bounds (raster ∩ window) in local coords
                 vals = warp_sample_np(
@@ -454,3 +489,161 @@ def warp_affine_np(
     out = np.full(h * w, init)
     out[in_src] = vals[in_src]
     return out.reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# reprojecting warp (gdalwarp -s_srs/-t_srs)
+# ---------------------------------------------------------------------------
+
+def _edge_grid(x0: float, y0: float, x1: float, y1: float, n: int = 9):
+    """Boundary sample points of a pixel rect (corners + edge interior) —
+    projections bulge along edges, so corner-only bounds under-cover."""
+    xs = np.linspace(x0, x1, n)
+    ys = np.linspace(y0, y1, n)
+    ex = np.concatenate([xs, xs, np.full(n, x0), np.full(n, x1)])
+    ey = np.concatenate([np.full(n, y0), np.full(n, y1), ys, ys])
+    return ex, ey
+
+
+def warp_crs(
+    src_tiles: DataFrame,
+    src_meta: RasterMeta,
+    dst_meta: RasterMeta,
+    src_crs: str | int,
+    dst_crs: str | int,
+    alg: str = "near",
+    init: float = 0.0,
+    band: int = 1,
+) -> DataFrame:
+    """gdalwarp with reprojection: dst px → dst geo → (dst_crs→src_crs via
+    geometry/crs.py Krüger transforms) → src geo → src px.
+
+    The dst-block → src-block need list cannot be closed-form column math
+    (the composed transform is not affine), so each dst block's source
+    window is bounded by transforming a boundary sample grid inside a
+    mapInPandas over the *block list* (rows = blocks, still distributed,
+    never pixel data on the driver)."""
+    from gdal_spark.geometry import crs as _crs
+
+    tf = _crs.transformer(dst_crs, src_crs)
+    if alg in REDUCE_ALGS:
+        halo = 2
+    else:
+        halo = {"near": 2, "bilinear": 2, "cubic": 3, "cubicspline": 3, "lanczos": 4}[alg]
+    sbw, sbh = src_meta.block_w, src_meta.block_h
+    spark = src_tiles.sparkSession
+    nbx, nby = dst_meta.blocks_x, dst_meta.blocks_y
+    bw, bh = dst_meta.block_w, dst_meta.block_h
+    W, H = dst_meta.width, dst_meta.height
+    to_src = _make_to_src_px(dst_meta, src_meta, tf)
+
+    def bounds(iterator):
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                dbx, dby = int(r.dbx), int(r.dby)
+                w = min(bw, W - dbx * bw)
+                h = min(bh, H - dby * bh)
+                ex, ey = _edge_grid(dbx * bw, dby * bh, dbx * bw + w, dby * bh + h)
+                with np.errstate(all="ignore"):
+                    sx, sy = to_src(ex, ey)
+                good = np.isfinite(sx) & np.isfinite(sy)
+                if not good.any():
+                    rows.append((dbx, dby, 0, 0, 0, 0))
+                    continue
+                rows.append(
+                    (
+                        dbx, dby,
+                        int(np.floor(sx[good].min())) - halo,
+                        int(np.floor(sy[good].min())) - halo,
+                        int(np.ceil(sx[good].max())) + halo,
+                        int(np.ceil(sy[good].max())) + halo,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["dbx", "dby", "sx0", "sy0", "sx1", "sy1"]
+            )
+
+    blocks = spark.range(nbx * nby).select(
+        (F.col("id") % nbx).cast("int").alias("dbx"),
+        (F.col("id") / nbx).cast("int").alias("dby"),
+    )
+    bdf = blocks.mapInPandas(
+        bounds, "dbx INT, dby INT, sx0 LONG, sy0 LONG, sx1 LONG, sy1 LONG"
+    )
+    sbx0 = F.greatest(F.lit(0), F.floor(F.col("sx0") / sbw)).cast("int")
+    sbx1 = F.least(F.lit(src_meta.blocks_x - 1), F.floor(F.col("sx1") / sbw)).cast("int")
+    sby0 = F.greatest(F.lit(0), F.floor(F.col("sy0") / sbh)).cast("int")
+    sby1 = F.least(F.lit(src_meta.blocks_y - 1), F.floor(F.col("sy1") / sbh)).cast("int")
+    nonempty = (sbx0 <= sbx1) & (sby0 <= sby1) & (F.col("sx1") > F.col("sx0"))
+    sbx_arr = F.when(nonempty, F.sequence(sbx0, sbx1)).otherwise(
+        F.array(F.lit(-1).cast("int"))
+    )
+    sby_arr = F.when(nonempty, F.sequence(sby0, sby1)).otherwise(
+        F.array(F.lit(-1).cast("int"))
+    )
+    need = (
+        bdf.withColumn("block_x", F.explode(sbx_arr))
+        .withColumn("block_y", F.explode(sby_arr))
+        .select("dbx", "dby", "block_x", "block_y", "sx0", "sy0", "sx1", "sy1")
+    )
+    return _gather_and_warp(need, src_tiles, src_meta, dst_meta, alg, init, band, tf=tf)
+
+
+def warp_crs_np(
+    src: np.ndarray,
+    src_meta: RasterMeta,
+    dst_meta: RasterMeta,
+    src_crs: str | int,
+    dst_crs: str | int,
+    alg: str = "near",
+    init: float = 0.0,
+) -> np.ndarray:
+    """Single-node oracle with the identical transform + sampling path."""
+    from gdal_spark.geometry import crs as _crs
+
+    tf = _crs.transformer(dst_crs, src_crs)
+    to_src = _make_to_src_px(dst_meta, src_meta, tf)
+    h, w = dst_meta.height, dst_meta.width
+    if alg in REDUCE_ALGS:
+        return warp_reduce_np(
+            src, dst_meta, src_meta, 0, 0, h, w, 0, 0, alg, init, to_src=to_src
+        )
+    dy, dx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    sx, sy = to_src(dx.ravel() + 0.5, dy.ravel() + 0.5)
+    vals = warp_sample_np(src, sx, sy, alg, 0, 0, src_meta.width, src_meta.height)
+    in_src = (sx >= 0) & (sx <= src_meta.width) & (sy >= 0) & (sy <= src_meta.height)
+    out = np.full(h * w, init)
+    out[in_src] = vals[in_src]
+    return out.reshape(h, w)
+
+
+def suggested_warp_output(
+    src_meta: RasterMeta, src_crs: str | int, dst_crs: str | int,
+    block_w: int = 256, block_h: int = 256,
+) -> RasterMeta:
+    """Approximate GDALSuggestedWarpOutput (alg/gdaltransformer.cpp:300):
+    transform a 21×21 boundary grid of the source extent, take the bbox,
+    and keep the pixel count of the source diagonal. Square pixels."""
+    from gdal_spark.geometry import crs as _crs
+
+    tf = _crs.transformer(src_crs, dst_crs)
+    n = 21
+    xs = np.linspace(0, src_meta.width, n)
+    ys = np.linspace(0, src_meta.height, n)
+    gx, gy = np.meshgrid(xs, ys)
+    wx, wy = src_meta.px_to_geo(gx.ravel(), gy.ravel())
+    with np.errstate(all="ignore"):
+        tx, ty = tf(wx, wy)
+    good = np.isfinite(tx) & np.isfinite(ty)
+    x0, x1 = float(tx[good].min()), float(tx[good].max())
+    y0, y1 = float(ty[good].min()), float(ty[good].max())
+    diag_px = float(np.hypot(src_meta.width, src_meta.height))
+    pixel = float(np.hypot(x1 - x0, y1 - y0)) / diag_px
+    w = max(1, int(np.ceil((x1 - x0) / pixel - 1e-9)))
+    h = max(1, int(np.ceil((y1 - y0) / pixel - 1e-9)))
+    return RasterMeta(
+        width=w, height=h, dtype="float64",
+        block_w=min(block_w, w), block_h=min(block_h, h),
+        gt=(x0, pixel, 0.0, y1, 0.0, -pixel),
+    )
