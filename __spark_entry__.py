@@ -1496,6 +1496,53 @@ def _oracle_polygonize() -> str:
 _lazy_oracle("polygonize_regions", _oracle_polygonize)
 
 
+_PGRD_GT = (440720.0, 60.0, 0.0, 3751440.0, 0.0, -60.0)
+
+
+def _polygonize_grd():
+    return np.array(
+        [
+            [107, 123, 132, 115, 132], [115, 132, 132, 123, 123],
+            [115, 132, 140, 132, 123], [148, 132, 123, 123, 123],
+            [156, 156, 156, 140, 132], [156, 100, 156, 101, 102],
+            [156, 156, 156, 103, 103],
+        ],
+        dtype=np.uint8,
+    )
+
+
+@_register("polygonize_wkt_golden")
+def q_polygonize_wkt_golden(spark, sf_dir):
+    """Full ring assembly on the reference's polygonize_in.grd fixture
+    (autotest/alg/polygonize.py test 1: 13 masked features; the DN=156
+    polygon-with-hole WKT is the reference golden), multi-tile blocks."""
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array
+    from gdal_spark.raster.polygonize import polygonize_polygons
+
+    meta = RasterMeta(width=5, height=7, dtype="uint8", block_w=2, block_h=3,
+                      gt=_PGRD_GT)
+    out = polygonize_polygons(
+        tiles_from_array(spark, _polygonize_grd(), meta), meta, exclude_values=(132,)
+    )
+    return out.select(
+        F.floor("value").cast("long").alias("value"), "wkt"
+    ).orderBy("value", "wkt")
+
+
+def _oracle_polygonize_wkt() -> str:
+    from gdal_spark.raster.polygonize import polygonize_polygons_np
+
+    feats = polygonize_polygons_np(_polygonize_grd(), _PGRD_GT, exclude_values=(132,))
+    rows = ", ".join(f"({int(v)}, '{w}')" for v, w in feats)
+    return (
+        "SELECT CAST(value AS BIGINT) AS value, wkt FROM "
+        f"(VALUES {rows}) t(value, wkt) ORDER BY value, wkt"
+    )
+
+
+_lazy_oracle("polygonize_wkt_golden", _oracle_polygonize_wkt)
+
+
 # -- 10. raster analysis ops -------------------------------------------------
 
 @_register("contour_segments")

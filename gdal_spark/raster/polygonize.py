@@ -119,12 +119,99 @@ _COMBINED_SCHEMA = (
 )
 
 
-def _tile_pass(meta: RasterMeta, connect8: bool):
+def _segment_frames(lab, arr, gx0, gy0, exclude_np):
+    """Directed boundary unit segments per pixel, interior-on-left after
+    the geo y-flip: top edges WEST, bottom EAST, left SOUTH, right NORTH
+    (matches the reference polygonizer's ring orientation,
+    alg/polygonize_polygonizer.cpp). ``n`` column = 1 for tile-border
+    segments (candidates for the cross-tile cancel join)."""
+    h, w = arr.shape
+    keep = ~np.isin(arr, exclude_np) if len(exclude_np) else np.ones(arr.shape, bool)
+    frames = []
+
+    def emit(mask, border_mask, x0, y0, x1, y1, vals, labs):
+        ys, xs = np.nonzero(mask)
+        if not len(ys):
+            return
+        frames.append(
+            pd.DataFrame(
+                {
+                    "kind": "g",
+                    "lab": labs[ys, xs],
+                    "value": vals[ys, xs].astype(np.float64),
+                    "n": border_mask[ys, xs].astype(np.int64),
+                    "minx": x0(ys, xs),
+                    "miny": y0(ys, xs),
+                    "maxx": x1(ys, xs),
+                    "maxy": y1(ys, xs),
+                    "side": "",
+                    "gx": 0,
+                    "gy": 0,
+                    "lab2": 0,
+                }
+            )
+        )
+
+    border = np.zeros((h, w), bool)
+    # top: neighbor above differs or r==0 — segment (c+1, r) → (c, r)
+    m = np.zeros((h, w), bool)
+    m[0, :] = True
+    m[1:, :] = lab[1:, :] != lab[:-1, :]
+    b = np.zeros((h, w), bool)
+    b[0, :] = True
+    emit(
+        m & keep, b,
+        lambda ys, xs: gx0 + xs + 1, lambda ys, xs: gy0 + ys,
+        lambda ys, xs: gx0 + xs, lambda ys, xs: gy0 + ys,
+        arr, lab,
+    )
+    # bottom: (c, r+1) → (c+1, r+1)
+    m = np.zeros((h, w), bool)
+    m[-1, :] = True
+    m[:-1, :] = lab[:-1, :] != lab[1:, :]
+    b = np.zeros((h, w), bool)
+    b[-1, :] = True
+    emit(
+        m & keep, b,
+        lambda ys, xs: gx0 + xs, lambda ys, xs: gy0 + ys + 1,
+        lambda ys, xs: gx0 + xs + 1, lambda ys, xs: gy0 + ys + 1,
+        arr, lab,
+    )
+    # left: (c, r) → (c, r+1)
+    m = np.zeros((h, w), bool)
+    m[:, 0] = True
+    m[:, 1:] = lab[:, 1:] != lab[:, :-1]
+    b = np.zeros((h, w), bool)
+    b[:, 0] = True
+    emit(
+        m & keep, b,
+        lambda ys, xs: gx0 + xs, lambda ys, xs: gy0 + ys,
+        lambda ys, xs: gx0 + xs, lambda ys, xs: gy0 + ys + 1,
+        arr, lab,
+    )
+    # right: (c+1, r+1) → (c+1, r)
+    m = np.zeros((h, w), bool)
+    m[:, -1] = True
+    m[:, :-1] = lab[:, :-1] != lab[:, 1:]
+    b = np.zeros((h, w), bool)
+    b[:, -1] = True
+    emit(
+        m & keep, b,
+        lambda ys, xs: gx0 + xs + 1, lambda ys, xs: gy0 + ys + 1,
+        lambda ys, xs: gx0 + xs + 1, lambda ys, xs: gy0 + ys,
+        arr, lab,
+    )
+    return frames
+
+
+def _tile_pass(meta: RasterMeta, connect8: bool, emit_segments: bool = False,
+               exclude_values=()):
     """One mapInPandas body emitting stats + boundary rows + intra-tile
     adjacency per tile (kind-tagged)."""
     dtype = meta.dtype
     bw, bh = meta.block_w, meta.block_h
     nbx = meta.blocks_x
+    exclude_np = np.asarray(list(exclude_values), dtype=np.float64)
 
     def tile_ccl(iterator):
         for pdf in iterator:
@@ -207,6 +294,12 @@ def _tile_pass(meta: RasterMeta, connect8: bool):
                     )
                     adj_parts.append(
                         np.stack([lab[:-1, 1:].ravel(), lab[1:, :-1].ravel()], axis=1)
+                    )
+                if emit_segments:
+                    frames.extend(
+                        _segment_frames(
+                            lab, arr.astype(np.float64), gx0, gy0, exclude_np
+                        )
                     )
                 adj_parts = [p for p in adj_parts if len(p)]
                 adj = (
@@ -298,15 +391,19 @@ class _DSU:
 
 
 def _polygonize_internal(
-    tiles: DataFrame, meta: RasterMeta, connect8: bool = False, band: int = 1
+    tiles: DataFrame, meta: RasterMeta, connect8: bool = False, band: int = 1,
+    emit_segments: bool = False, exclude_values=(),
 ):
     """(regions, map_df(lab→root) or None, adjacency(root1,root2), combined)
 
     ``combined`` is the persisted kind-tagged tile-pass output — callers
-    (sieve_apply) reuse it instead of re-running the CCL.
+    (sieve_apply, polygonize_polygons) reuse it instead of re-running the
+    CCL.
     """
     dtiles = tiles.filter(F.col("band") == band)
-    combined = dtiles.mapInPandas(_tile_pass(meta, connect8), _COMBINED_SCHEMA).persist()
+    combined = dtiles.mapInPandas(
+        _tile_pass(meta, connect8, emit_segments, exclude_values), _COMBINED_SCHEMA
+    ).persist()
     stats = combined.filter(F.col("kind") == "s").select(
         "lab", "value", "n", "minx", "miny", "maxx", "maxy"
     )
@@ -511,3 +608,174 @@ def sieve_apply(
         .cogroup(tile_relabel.groupBy("block_x", "block_y"))
         .applyInPandas(rewrite, TILES_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# ring assembly (GDALPolygonize feature output)
+# ---------------------------------------------------------------------------
+
+def _fmt(v: float) -> str:
+    return f"{v:.15g}"
+
+
+def polygonize_polygons(
+    tiles: DataFrame,
+    meta: RasterMeta,
+    connect8: bool = False,
+    band: int = 1,
+    exclude_values=(),
+    geo: bool = True,
+) -> DataFrame:
+    """Full GDALPolygonize: one feature per connected region with its
+    polygon geometry — exterior ring CCW (geo axes), holes CW, collinear
+    vertices dropped, rings starting at their topmost-leftmost corner
+    (matching alg/polygonize_polygonizer.cpp ring output; golden:
+    autotest/alg/polygonize.py test 1). Output (region_id, value, wkt).
+
+    Distributed shape: per-tile directed boundary segments (interior on
+    the left) from the single CCL pass; tile-border segments cancel via a
+    window over the shared edge key when both sides map to the same final
+    region; per-region ring walk in applyInPandas (O(perimeter) per
+    region — a 4-connected region has no corner pinches, so the
+    successor map is a function and the walk is unambiguous).
+
+    ``exclude_values``: mask semantics (GDALPolygonize's nodata mask
+    band) — those regions produce no features but still bound their
+    neighbors. 8-connected ring assembly (self-touching rings) is not
+    supported; use :func:`polygonize_regions` for connect8 stats.
+    """
+    if connect8:
+        raise NotImplementedError(
+            "ring assembly is 4-connected only (8-connected regions can "
+            "self-touch at corners, which needs multi-ring pinch handling)"
+        )
+    regions, map_df, _, combined = _polygonize_internal(
+        tiles, meta, connect8, band, emit_segments=True,
+        exclude_values=exclude_values,
+    )
+    segs = combined.filter(F.col("kind") == "g").select(
+        "lab",
+        "value",
+        F.col("n").alias("is_border"),
+        F.col("minx").alias("x0"),
+        F.col("miny").alias("y0"),
+        F.col("maxx").alias("x1"),
+        F.col("maxy").alias("y1"),
+    )
+    if map_df is not None:
+        segs = segs.join(F.broadcast(map_df), "lab", "left").withColumn(
+            "root", F.coalesce(F.col("root"), F.col("lab"))
+        )
+    else:
+        segs = segs.withColumn("root", F.col("lab"))
+    interior = segs.filter(F.col("is_border") == 0)
+    border = segs.filter(F.col("is_border") == 1)
+    # cancel shared-edge pairs that ended up in the same final region
+    kx0 = F.least("x0", "x1")
+    ky0 = F.least("y0", "y1")
+    kx1 = F.greatest("x0", "x1")
+    ky1 = F.greatest("y0", "y1")
+    w = Window.partitionBy(kx0, ky0, kx1, ky1)
+    border = (
+        border.withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("__nr", F.size(F.collect_set("root").over(w)))
+        .filter((F.col("__n") == 1) | (F.col("__nr") >= 2))
+        .drop("__n", "__nr")
+    )
+    allsegs = interior.unionByName(border).select("root", "value", "x0", "y0", "x1", "y1")
+    gt = meta.gt if geo else (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        root = int(key[0])
+        val = float(pdf["value"].iloc[0])
+        seg = {}
+        for x0, y0, x1, y1 in zip(pdf["x0"], pdf["y0"], pdf["x1"], pdf["y1"]):
+            seg[(int(x0), int(y0))] = (int(x1), int(y1))
+        rings = []
+        while seg:
+            start = min(seg.keys(), key=lambda p: (p[1], p[0]))
+            ring = [start]
+            cur = seg.pop(start)
+            while cur != start:
+                ring.append(cur)
+                cur = seg.pop(cur)
+            n = len(ring)
+            out = []
+            for i in range(n):
+                p_prev = ring[i - 1]
+                p = ring[i]
+                p_next = ring[(i + 1) % n]
+                if (p_prev[0] == p[0] == p_next[0]) or (
+                    p_prev[1] == p[1] == p_next[1]
+                ):
+                    continue
+                out.append(p)
+            k0 = min(range(len(out)), key=lambda i: (out[i][1], out[i][0]))
+            out = out[k0:] + out[:k0]
+            out.append(out[0])
+            rings.append(out)
+        parts = []
+        for ring in rings:
+            pts = ", ".join(
+                f"{_fmt(gt[0] + x * gt[1] + y * gt[2])} "
+                f"{_fmt(gt[3] + x * gt[4] + y * gt[5])}"
+                for x, y in ring
+            )
+            parts.append(f"({pts})")
+        wkt = "POLYGON (" + ",".join(parts) + ")"
+        return pd.DataFrame(
+            [(root, val, wkt)], columns=["region_id", "value", "wkt"]
+        )
+
+    return allsegs.groupBy("root").applyInPandas(
+        assemble, "region_id LONG, value DOUBLE, wkt STRING"
+    )
+
+
+def polygonize_polygons_np(arr: np.ndarray, gt=None, exclude_values=()):
+    """Single-node oracle for :func:`polygonize_polygons`: same segment
+    rules + ring walk over the full array. Returns [(value, wkt)]."""
+    if gt is None:
+        gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    lab = _ccl_np(arr, connect8=False)
+    exclude_np = np.asarray(list(exclude_values), dtype=np.float64)
+    frames = _segment_frames(lab, arr.astype(np.float64), 0, 0, exclude_np)
+    if not frames:
+        return []
+    segs = pd.concat(frames, ignore_index=True)
+    out = []
+    for root, pdf in segs.groupby("lab"):
+        val = float(pdf["value"].iloc[0])
+        seg = {
+            (int(x0), int(y0)): (int(x1), int(y1))
+            for x0, y0, x1, y1 in zip(pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"])
+        }
+        rings = []
+        while seg:
+            start = min(seg.keys(), key=lambda p: (p[1], p[0]))
+            ring = [start]
+            cur = seg.pop(start)
+            while cur != start:
+                ring.append(cur)
+                cur = seg.pop(cur)
+            n = len(ring)
+            keep = []
+            for i in range(n):
+                pp, p, pn = ring[i - 1], ring[i], ring[(i + 1) % n]
+                if (pp[0] == p[0] == pn[0]) or (pp[1] == p[1] == pn[1]):
+                    continue
+                keep.append(p)
+            k0 = min(range(len(keep)), key=lambda i: (keep[i][1], keep[i][0]))
+            keep = keep[k0:] + keep[:k0]
+            keep.append(keep[0])
+            rings.append(keep)
+        parts = []
+        for ring in rings:
+            pts = ", ".join(
+                f"{_fmt(gt[0] + x * gt[1] + y * gt[2])} "
+                f"{_fmt(gt[3] + x * gt[4] + y * gt[5])}"
+                for x, y in ring
+            )
+            parts.append(f"({pts})")
+        out.append((val, "POLYGON (" + ",".join(parts) + ")"))
+    return sorted(out)

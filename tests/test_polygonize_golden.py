@@ -40,3 +40,68 @@ def test_polygonize_golden_multiblock(spark):
     r156 = [r for r in regions if r.value == 156]
     assert len(r156) == 1 and r156[0].n_pixels == 8
     assert (r156[0].min_x, r156[0].min_y, r156[0].max_x, r156[0].max_y) == (0, 4, 2, 6)
+
+
+# ---------------------------------------------------------------------------
+# ring assembly vs the reference's expected WKT (autotest/alg/polygonize.py:62)
+# ---------------------------------------------------------------------------
+
+GT = (440720.0, 60.0, 0.0, 3751440.0, 0.0, -60.0)
+GOLDEN_156 = (
+    "POLYGON ((440720 3751200,440720 3751020,440900 3751020,440900 3751200,"
+    "440720 3751200),(440780 3751140,440840 3751140,440840 3751080,"
+    "440780 3751080,440780 3751140))"
+)
+
+
+def _parse_simple_wkt(w):
+    body = w[w.index("((") :].strip("()")
+    rings = []
+    for part in body.split("),("):
+        rings.append(
+            [tuple(float(v) for v in pt.split()) for pt in part.split(",")]
+        )
+    return rings
+
+
+def _polygons(spark, meta, exclude=()):
+    from gdal_spark.raster.polygonize import polygonize_polygons
+
+    return polygonize_polygons(
+        tiles_from_array(spark, GRD, meta), meta, exclude_values=exclude
+    ).collect()
+
+
+def test_polygonize_polygons_golden_masked(spark):
+    """13 features with nodata 132 masked; the DN=156 feature's geometry
+    (ring + hole) must equal the reference's expected WKT."""
+    meta = RasterMeta(width=5, height=7, dtype="uint8", block_w=5, block_h=7, gt=GT)
+    feats = _polygons(spark, meta, exclude=(132,))
+    assert len(feats) == 13
+    assert sorted(int(f.value) for f in feats) == EXPECT
+    f156 = [f for f in feats if f.value == 156]
+    assert len(f156) == 1
+    got = _parse_simple_wkt(f156[0].wkt)
+    want = _parse_simple_wkt(GOLDEN_156)
+    assert got == want, f156[0].wkt
+
+
+def test_polygonize_polygons_multiblock_same_result(spark):
+    """2×3 blocks: cross-tile segment cancellation must reproduce the
+    exact same ring set as the single-block run, including the hole."""
+    meta1 = RasterMeta(width=5, height=7, dtype="uint8", block_w=5, block_h=7, gt=GT)
+    meta2 = RasterMeta(width=5, height=7, dtype="uint8", block_w=2, block_h=3, gt=GT)
+    a = sorted((f.value, f.wkt) for f in _polygons(spark, meta1, exclude=(132,)))
+    b = sorted((f.value, f.wkt) for f in _polygons(spark, meta2, exclude=(132,)))
+    assert a == b
+
+
+def test_polygonize_polygons_unmasked_17(spark):
+    """Without the mask all 17 regions (incl. nodata-valued ones) emit
+    (autotest/alg/polygonize.py test 2)."""
+    meta = RasterMeta(width=5, height=7, dtype="uint8", block_w=5, block_h=7, gt=GT)
+    feats = _polygons(spark, meta)
+    assert len(feats) == 17
+    expect2 = sorted([107, 123, 115, 132, 115, 140, 132, 132, 148, 123, 140,
+                      132, 100, 101, 102, 156, 103])
+    assert sorted(int(f.value) for f in feats) == expect2
