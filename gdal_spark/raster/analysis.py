@@ -312,3 +312,169 @@ def fillnodata(
             yield pd.DataFrame(rows, columns=["band", "block_y", "block_x", "h", "w", "data"])
 
     return padded.mapInPandas(fill, TILES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# contour stitching + interval mode (alg/contour.cpp:331,568)
+# ---------------------------------------------------------------------------
+
+def interval_levels(zmin: float, zmax: float, interval: float, base: float = 0.0):
+    """The reference's fixed-interval level set: every base + k*interval
+    strictly inside (zmin, zmax] (contour.cpp IntervalLevelRangeIterator)."""
+    import math
+
+    k0 = int(math.ceil((zmin - base) / interval))
+    if base + k0 * interval <= zmin:
+        k0 += 1
+    out = []
+    k = k0
+    while base + k * interval <= zmax:
+        out.append(base + k * interval)
+        k += 1
+    return out
+
+
+def _stitch_segments(segs):
+    """Join marching-squares segments into polylines. Endpoints are exact
+    (both adjacent cells interpolate from the same pixel values, rounded
+    identically), so matching is dict-based. Returns list of vertex lists;
+    open chains start/end at degree-1 nodes; closed rings are rotated to
+    their lexicographically smallest vertex. Deterministic."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for (x0, y0, x1, y1) in segs:
+        adj[(x0, y0)].append((x1, y1))
+        adj[(x1, y1)].append((x0, y0))
+    used = set()
+
+    def seg_key(a, b):
+        return (a, b) if a <= b else (b, a)
+
+    lines = []
+    # open chains first: start at odd-degree nodes, smallest first
+    starts = sorted(p for p, nb in adj.items() if len(nb) % 2 == 1)
+    for s in starts:
+        while True:
+            nxt = [q for q in adj[s] if seg_key(s, q) not in used]
+            if not nxt:
+                break
+            line = [s]
+            cur, prev = s, None
+            while True:
+                cand = sorted(q for q in adj[cur] if seg_key(cur, q) not in used)
+                if not cand:
+                    break
+                q = cand[0]
+                used.add(seg_key(cur, q))
+                line.append(q)
+                prev, cur = cur, q
+                if len(adj[cur]) % 2 == 1 and cur != s:
+                    break
+            lines.append(line)
+    # closed loops from the remainder
+    remaining = sorted(
+        p for p, nb in adj.items()
+        if any(seg_key(p, q) not in used for q in nb)
+    )
+    for s in remaining:
+        cand = [q for q in adj[s] if seg_key(s, q) not in used]
+        if not cand:
+            continue
+        line = [s]
+        cur = s
+        while True:
+            nxts = sorted(q for q in adj[cur] if seg_key(cur, q) not in used)
+            if not nxts:
+                break
+            q = nxts[0]
+            used.add(seg_key(cur, q))
+            line.append(q)
+            cur = q
+            if cur == s:
+                break
+        # rotate closed ring to smallest vertex
+        if line[0] == line[-1] and len(line) > 2:
+            body = line[:-1]
+            k = min(range(len(body)), key=lambda i: body[i])
+            body = body[k:] + body[:k]
+            line = body + [body[0]]
+        lines.append(line)
+    return lines
+
+
+def contour_lines(
+    tiles: DataFrame,
+    meta: RasterMeta,
+    levels=None,
+    interval: float | None = None,
+    base: float = 0.0,
+    band: int = 1,
+) -> DataFrame:
+    """Stitched contour polylines: (level, line_id, wkt). ``interval``
+    derives the level set from the distributed min/max (fixed-interval
+    mode, contour.cpp:568); explicit ``levels`` match the reference's
+    FIXED_LEVELS. Stitching runs per level in applyInPandas (the
+    reference is single-node for the whole raster; per-level grouping is
+    the distributed compromise — segments per level must fit a worker)."""
+    dtype = meta.dtype
+
+    if levels is None:
+        if interval is None:
+            raise ValueError("need levels or interval")
+
+        def mm(iterator):
+            for pdf in iterator:
+                rows = []
+                for _, r in pdf.iterrows():
+                    arr = np.frombuffer(r.data, dtype=dtype).reshape(r.h, r.w)
+                    rows.append((float(arr.min()), float(arr.max())))
+                yield pd.DataFrame(rows, columns=["mn", "mx"])
+
+        agg = (
+            tiles.filter(F.col("band") == band)
+            .mapInPandas(mm, "mn DOUBLE, mx DOUBLE")
+            .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+            .collect()[0]
+        )
+        levels = interval_levels(agg.mn, agg.mx, interval, base)
+        if not levels:
+            empty = tiles.sparkSession.createDataFrame(
+                [], "level DOUBLE, line_id INT, wkt STRING"
+            )
+            return empty
+
+    segs = contour_segments(tiles, meta, levels, band)
+
+    def stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        level = float(key[0])
+        seg_list = list(
+            zip(pdf["x0"], pdf["y0"], pdf["x1"], pdf["y1"])
+        )
+        lines = _stitch_segments(seg_list)
+        rows = []
+        for i, line in enumerate(
+            sorted(lines, key=lambda l: (l[0], l[-1], len(l)))
+        ):
+            pts = ", ".join(f"{x:.9g} {y:.9g}" for x, y in line)
+            rows.append((level, i, f"LINESTRING ({pts})"))
+        return pd.DataFrame(rows, columns=["level", "line_id", "wkt"])
+
+    return segs.groupBy("level").applyInPandas(
+        stitch, "level DOUBLE, line_id INT, wkt STRING"
+    )
+
+
+def contour_lines_np(arr: np.ndarray, levels) -> list:
+    """Single-node oracle with the identical stitch + canonical order."""
+    out = []
+    for level in levels:
+        segs = [
+            (x0, y0, x1, y1)
+            for (lv, x0, y0, x1, y1) in contour_segments_np(arr, [level])
+        ]
+        lines = _stitch_segments(segs)
+        for i, line in enumerate(sorted(lines, key=lambda l: (l[0], l[-1], len(l)))):
+            pts = ", ".join(f"{x:.9g} {y:.9g}" for x, y in line)
+            out.append((float(level), i, f"LINESTRING ({pts})"))
+    return out

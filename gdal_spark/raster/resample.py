@@ -248,8 +248,12 @@ def downsample2(tiles: DataFrame, meta: RasterMeta, alg: str = "average") -> tup
     block (groupBy output block → applyInPandas). Requires block sizes even.
 
     The distributed analogue of GDALRegenerateOverviewsEx
-    (gcore/overview.cpp:4378) for power-of-two levels.
+    (gcore/overview.cpp:4378) for power-of-two levels. Kernel algs
+    (gauss/cubic/cubicspline/lanczos) route to the halo-exchanging
+    convolution path.
     """
+    if alg in OVERVIEW_KERNEL_ALGS:
+        return downsample2_kernel(tiles, meta, alg)
     out_meta = RasterMeta(
         width=meta.width // 2,
         height=meta.height // 2,
@@ -295,4 +299,173 @@ def downsample2(tiles: DataFrame, meta: RasterMeta, alg: str = "average") -> tup
 
 def downsample2_np(arr: np.ndarray, alg: str = "average") -> np.ndarray:
     """Single-node oracle for :func:`downsample2`."""
+    if alg in OVERVIEW_KERNEL_ALGS:
+        return downsample2_conv_np(arr, alg, out_dtype=arr.dtype)
     return _reduce2_np(arr, alg)
+
+
+# ---------------------------------------------------------------------------
+# kernel-based overview reduction (gauss / cubic / cubicspline / lanczos)
+# ---------------------------------------------------------------------------
+
+def _overview_taps(alg: str):
+    """(offsets d, weights) for factor-2 overview convolution: dst pixel i
+    reduces src pixels j = 2i + d; the continuous distance is
+    (j+0.5) - (2i+1) = d - 0.5, kernel scaled by the factor
+    (gcore/overview.cpp GDALResampleChunk_Convolution; gauss uses the
+    fixed 3x3 {1,2,1} matrix of GDALResampleChunk_Gauss:1844). Weights
+    are constant per offset at an integer factor — the reduction is a
+    strided separable convolution with border clip + renormalize."""
+    if alg == "gauss":
+        return np.array([0, 1, 2]), np.array([1.0, 2.0, 1.0])
+    if alg == "cubic":
+        d = np.arange(-3, 5)
+        return d, cubic_kernel((d - 0.5) / 2.0)
+    if alg == "cubicspline":
+        d = np.arange(-3, 5)
+        return d, cubic_spline_kernel((d - 0.5) / 2.0)
+    if alg == "lanczos":
+        d = np.arange(-5, 7)
+        return d, lanczos_kernel((d - 0.5) / 2.0)
+    raise ValueError(f"not a kernel overview alg: {alg!r}")
+
+
+OVERVIEW_KERNEL_ALGS = ("gauss", "cubic", "cubicspline", "lanczos")
+_OVERVIEW_HALO = 6  # max |offset| across the kernels above
+
+
+def _conv_axis_np(src, axis, offs, wts, g0, out0, out_n, glob_n):
+    """Strided (factor-2) 1D convolution along ``axis`` with
+    clip-and-renormalize at the GLOBAL raster bounds. ``src`` covers
+    global index g0.. along the axis; output covers out0..out0+out_n-1
+    (global dst indices)."""
+    src = np.moveaxis(np.asarray(src, dtype=np.float64), axis, 0)
+    num = np.zeros((out_n,) + src.shape[1:])
+    den = np.zeros(out_n)
+    i = np.arange(out0, out0 + out_n)
+    for d, w in zip(offs, wts):
+        j = 2 * i + d  # global src index
+        valid = (j >= 0) & (j < glob_n)
+        jj = np.clip(j - g0, 0, src.shape[0] - 1)
+        contrib = src[jj] * w
+        contrib[~valid] = 0.0
+        num += contrib
+        den += np.where(valid, w, 0.0)
+    out = num / den.reshape((-1,) + (1,) * (src.ndim - 1))
+    return np.moveaxis(out, 0, axis)
+
+
+def downsample2_conv_np(
+    src: np.ndarray, alg: str, y0g: int = 0, x0g: int = 0,
+    oy0: int = 0, ox0: int = 0, oh: int | None = None, ow: int | None = None,
+    glob_h: int | None = None, glob_w: int | None = None,
+    out_dtype=None,
+) -> np.ndarray:
+    """Factor-2 kernel overview of the window ``src`` (global top-left
+    (y0g, x0g)); produces dst pixels [oy0, oy0+oh) × [ox0, ox0+ow)."""
+    glob_h = glob_h if glob_h is not None else src.shape[0]
+    glob_w = glob_w if glob_w is not None else src.shape[1]
+    oh = oh if oh is not None else glob_h // 2
+    ow = ow if ow is not None else glob_w // 2
+    offs, wts = _overview_taps(alg)
+    mid = _conv_axis_np(src, 1, offs, wts, x0g, ox0, ow, glob_w)
+    out = _conv_axis_np(mid, 0, offs, wts, y0g, oy0, oh, glob_h)
+    dt = out_dtype if out_dtype is not None else src.dtype
+    if np.issubdtype(np.dtype(dt), np.integer):
+        info = np.iinfo(dt)
+        return np.clip(np.floor(out + 0.5), info.min, info.max).astype(dt)
+    return out.astype(dt)
+
+
+def downsample2_kernel(
+    tiles: DataFrame, meta: RasterMeta, alg: str
+) -> tuple[DataFrame, RasterMeta]:
+    """Distributed kernel overview: every output block gathers its 2×2
+    input quad plus a ±6-pixel halo (strip exchange keyed by the OUTPUT
+    block — shuffle volume O(perimeter) like raster/halo.py), then runs
+    the strided convolution with global-bounds renormalization."""
+    out_meta = RasterMeta(
+        width=meta.width // 2, height=meta.height // 2, dtype=meta.dtype,
+        block_w=meta.block_w, block_h=meta.block_h,
+        gt=(meta.gt[0], meta.gt[1] * 2, meta.gt[2] * 2,
+            meta.gt[3], meta.gt[4] * 2, meta.gt[5] * 2),
+        nodata=meta.nodata, bands=meta.bands,
+    )
+    dtype = meta.dtype
+    H, W = meta.height, meta.width
+    bh, bw = meta.block_h, meta.block_w
+    obh, obw = out_meta.block_h, out_meta.block_w
+    r = _OVERVIEW_HALO
+    nobx = out_meta.blocks_x
+    noby = out_meta.blocks_y
+
+    def emit(iterator):
+        for pdf in iterator:
+            rows = []
+            for _, row in pdf.iterrows():
+                h, w = int(row.h), int(row.w)
+                arr = np.frombuffer(row.data, dtype=dtype).reshape(h, w)
+                bx, by = int(row.block_x), int(row.block_y)
+                gy0, gx0 = by * bh, bx * bw
+                for oby in range(max(0, (gy0 - r) // (2 * obh)),
+                                 min(noby - 1, (gy0 + h + r) // (2 * obh)) + 1):
+                    ty0 = oby * 2 * obh - r
+                    ty1 = ty0 + 2 * obh + 2 * r
+                    for obx in range(max(0, (gx0 - r) // (2 * obw)),
+                                     min(nobx - 1, (gx0 + w + r) // (2 * obw)) + 1):
+                        tx0 = obx * 2 * obw - r
+                        tx1 = tx0 + 2 * obw + 2 * r
+                        y0 = max(gy0, ty0)
+                        y1 = min(gy0 + h, ty1)
+                        x0 = max(gx0, tx0)
+                        x1 = min(gx0 + w, tx1)
+                        if y1 <= y0 or x1 <= x0:
+                            continue
+                        piece = np.ascontiguousarray(
+                            arr[y0 - gy0 : y1 - gy0, x0 - gx0 : x1 - gx0]
+                        )
+                        rows.append(
+                            (int(row.band), oby, obx, y0, x0,
+                             piece.shape[0], piece.shape[1], piece.tobytes())
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["band", "oby", "obx", "gy0", "gx0", "ph", "pw", "piece"],
+            )
+
+    strips = tiles.mapInPandas(
+        emit,
+        "band INT, oby INT, obx INT, gy0 INT, gx0 INT, ph INT, pw INT, piece BINARY",
+    )
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        band, oby, obx = int(key[0]), int(key[1]), int(key[2])
+        oh = min(obh, out_meta.height - oby * obh)
+        ow = min(obw, out_meta.width - obx * obw)
+        if oh <= 0 or ow <= 0:
+            return pd.DataFrame(
+                columns=["band", "block_y", "block_x", "h", "w", "data"]
+            )
+        ty0 = oby * 2 * obh - r
+        tx0 = obx * 2 * obw - r
+        src = np.zeros((2 * obh + 2 * r, 2 * obw + 2 * r), dtype=dtype)
+        for _, row in pdf.iterrows():
+            piece = np.frombuffer(row.piece, dtype=dtype).reshape(
+                int(row.ph), int(row.pw)
+            )
+            oy = int(row.gy0) - ty0
+            ox = int(row.gx0) - tx0
+            src[oy : oy + piece.shape[0], ox : ox + piece.shape[1]] = piece
+        out = downsample2_conv_np(
+            src, alg, y0g=ty0, x0g=tx0, oy0=oby * obh, ox0=obx * obw,
+            oh=oh, ow=ow, glob_h=H, glob_w=W, out_dtype=dtype,
+        )
+        return pd.DataFrame(
+            [(band, oby, obx, oh, ow, out.tobytes())],
+            columns=["band", "block_y", "block_x", "h", "w", "data"],
+        )
+
+    out = strips.groupBy("band", "oby", "obx").applyInPandas(
+        assemble, "band INT, block_y INT, block_x INT, h INT, w INT, data BINARY"
+    )
+    return out, out_meta

@@ -125,3 +125,39 @@ def test_pyramid_two_levels(spark):
     want = downsample2_np(downsample2_np(full, "average"), "average")
     assert (got == want).all()
     assert m2.gt[1] == meta.gt[1] * 4
+
+
+def test_overview_kernel_algs_match_numpy(spark):
+    """gauss/cubic/cubicspline/lanczos overview kernels: distributed
+    (quad + halo exchange) == single-node convolution, bit-exact."""
+    from gdal_spark.raster.model import RasterMeta, synth_raster, tiles_to_array
+    from gdal_spark.raster.resample import downsample2, downsample2_np
+
+    meta = RasterMeta(width=96, height=64, dtype="float32", block_w=32, block_h=32)
+    tiles = synth_raster(spark, meta)
+    import numpy as np
+    from gdal_spark.raster.model import synth_block_np
+
+    full = np.zeros((64, 96), dtype="float32")
+    for by in range(meta.blocks_y):
+        for bx in range(meta.blocks_x):
+            h, w = meta.block_shape(bx, by)
+            full[by*32:by*32+h, bx*32:bx*32+w] = synth_block_np(bx, by, h, w, meta)
+    for alg in ("gauss", "cubic", "cubicspline", "lanczos"):
+        lvl1, m1 = downsample2(tiles, meta, alg=alg)
+        got = tiles_to_array(lvl1, m1)
+        want = downsample2_np(full, alg)
+        np.testing.assert_array_equal(got, want, err_msg=alg)
+
+
+def test_overview_gauss_uint8_rounding(spark):
+    import numpy as np
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array, tiles_to_array
+    from gdal_spark.raster.resample import downsample2, downsample2_np
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    meta = RasterMeta(width=48, height=32, dtype="uint8", block_w=16, block_h=16)
+    lvl1, m1 = downsample2(tiles_from_array(spark, arr, meta), meta, alg="gauss")
+    got = tiles_to_array(lvl1, m1)
+    np.testing.assert_array_equal(got, downsample2_np(arr, "gauss"))

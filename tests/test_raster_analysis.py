@@ -106,3 +106,44 @@ def test_no_driver_collect_in_scale_paths():
     src = inspect.getsource(warp.warp_affine)
     assert ".collect()" not in src
     assert "for by in range" not in src  # no driver-side block double loop
+
+
+def test_contour_lines_stitched_matches_oracle(spark):
+    from gdal_spark.raster.analysis import contour_lines, contour_lines_np
+    from gdal_spark.raster.model import RasterMeta, synth_block_np, synth_raster
+
+    meta = RasterMeta(width=30, height=20, dtype="float32", block_w=10, block_h=10)
+    full = np.zeros((20, 30), dtype="float32")
+    for by in range(meta.blocks_y):
+        for bx in range(meta.blocks_x):
+            h, w = meta.block_shape(bx, by)
+            full[by*10:by*10+h, bx*10:bx*10+w] = synth_block_np(bx, by, h, w, meta)
+    got = sorted(
+        (r.level, r.line_id, r.wkt)
+        for r in contour_lines(synth_raster(spark, meta), meta, [250.0, 500.0]).collect()
+    )
+    want = sorted(contour_lines_np(full, [250.0, 500.0]))
+    assert got == want
+    assert len(got) > 0
+    # stitched: total vertex count far below 2x segment count
+    assert all(w.startswith("LINESTRING (") for _, _, w in got)
+
+
+def test_contour_interval_mode(spark):
+    from gdal_spark.raster.analysis import contour_lines, contour_lines_np, interval_levels
+    from gdal_spark.raster.model import RasterMeta, synth_block_np, synth_raster
+
+    meta = RasterMeta(width=30, height=20, dtype="float32", block_w=10, block_h=10)
+    full = np.zeros((20, 30), dtype="float32")
+    for by in range(meta.blocks_y):
+        for bx in range(meta.blocks_x):
+            h, w = meta.block_shape(bx, by)
+            full[by*10:by*10+h, bx*10:bx*10+w] = synth_block_np(bx, by, h, w, meta)
+    levels = interval_levels(float(full.min()), float(full.max()), 200.0)
+    assert levels  # several levels inside the synthetic range
+    got = sorted(
+        (r.level, r.line_id, r.wkt)
+        for r in contour_lines(synth_raster(spark, meta), meta, interval=200.0).collect()
+    )
+    want = sorted(contour_lines_np(full, levels))
+    assert got == want
