@@ -1101,6 +1101,472 @@ def q_st_area_reference_polys(spark, sf_dir):
 _lazy_oracle("st_area_reference_polys", _st_area_oracle)
 
 
+# -- 8b. previously pytest-only surface, now gated ---------------------------
+
+@_register(
+    "select_star_except",
+    """
+    SELECT * EXCLUDE (c_acctbal, c_mktsegment) FROM customer
+    WHERE c_custkey < 50 ORDER BY c_custkey
+    """,
+)
+def q_select_star_except(spark, sf_dir):
+    """OGR SQL SELECT * EXCEPT (swq_parser.y:866) ≡ DuckDB EXCLUDE."""
+    from gdal_spark.operators.ogr_sql import execute_sql
+
+    out = execute_sql(
+        spark,
+        "select * except (c_acctbal, c_mktsegment) from customer where c_custkey < 50",
+        {"customer": _t(spark, sf_dir, "customer")},
+        {"customer": "c_custkey"},
+    )
+    return out.orderBy("c_custkey")
+
+
+@_register(
+    "stddev_summary",
+    """
+    SELECT CAST(FLOOR(stddev_pop(l_quantity) * 10000.0e0 + 0.5e0) AS BIGINT) AS sd_pop_e4,
+           CAST(FLOOR(stddev_samp(l_quantity) * 10000.0e0 + 0.5e0) AS BIGINT) AS sd_samp_e4
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def q_stddev_summary(spark, sf_dir):
+    from gdal_spark.operators.ogr_compat import summary_aggregates
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    out = summary_aggregates(
+        li,
+        [("stddev_pop", "l_quantity", "sd_pop"), ("stddev_samp", "l_quantity", "sd_samp")],
+    )
+    return out.select(
+        F.floor(F.col("sd_pop") * 10000.0 + F.lit(0.5)).cast("long").alias("sd_pop_e4"),
+        F.floor(F.col("sd_samp") * 10000.0 + F.lit(0.5)).cast("long").alias("sd_samp_e4"),
+    )
+
+
+@_register("raster_calc_checksum")
+def q_raster_calc_checksum(spark, sf_dir):
+    """Band algebra (gdal_calc): normalized difference of two synth bands."""
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, synth_raster
+    from gdal_spark.raster.translate import raster_calc
+
+    meta = _terrain_meta()
+    a = synth_raster(spark, meta, seed=1)
+    b = synth_raster(spark, meta, seed=2)
+    out = raster_calc(
+        {"a": a, "b": b}, meta,
+        lambda d: (d["a"] - d["b"]) / (d["a"] + d["b"] + 1.0) * 1000.0,
+        out_dtype="float64",
+    )
+    out_meta = RasterMeta(width=meta.width, height=meta.height, dtype="float64",
+                          block_w=meta.block_w, block_h=meta.block_h, gt=meta.gt)
+    cs = checksum_df(out, out_meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_raster_calc() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.model import synth_block_np
+
+    meta = _terrain_meta()
+
+    def full(seed):
+        out = np.zeros((meta.height, meta.width), dtype=np.float64)
+        for by in range(meta.blocks_y):
+            for bx in range(meta.blocks_x):
+                h, w = meta.block_shape(bx, by)
+                out[by*32:by*32+h, bx*32:bx*32+w] = synth_block_np(bx, by, h, w, meta, seed=seed)
+        return out
+
+    a, b = full(1), full(2)
+    img = (a - b) / (a + b + 1.0) * 1000.0
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("raster_calc_checksum", _oracle_raster_calc)
+
+
+@_register("band_histogram")
+def q_band_histogram(spark, sf_dir):
+    from gdal_spark.raster.model import byte_fixture, tiles_from_array, RasterMeta
+    from gdal_spark.raster.zonal import band_histogram
+
+    arr, meta = byte_fixture()
+    mb = RasterMeta(width=20, height=20, dtype="uint8", block_w=8, block_h=8, gt=meta.gt)
+    out = band_histogram(tiles_from_array(spark, arr, mb), mb, n_bins=16)
+    return out.select(
+        F.col("bin").cast("long").alias("bin"), F.col("count").cast("long").alias("count")
+    ).orderBy("bin")
+
+
+def _oracle_band_histogram() -> str:
+    from gdal_spark.raster.model import byte_fixture
+
+    arr, _ = byte_fixture()
+    idx = np.clip(((arr.astype(np.float64) - 0.0) / 16.0).astype(np.int64), 0, 15)
+    c = np.bincount(idx.ravel(), minlength=16)
+    rows = ", ".join(f"({b}, {int(c[b])})" for b in range(16))
+    return (
+        "SELECT CAST(bin AS BIGINT) AS bin, CAST(count AS BIGINT) AS count "
+        f"FROM (VALUES {rows}) t(bin, count) ORDER BY bin"
+    )
+
+
+_lazy_oracle("band_histogram", _oracle_band_histogram)
+
+
+# concave overlay fixtures with ANALYTICALLY KNOWN areas: the L-shape
+# (0,0)→(2,2) minus its top-right 1×1 (area 3) vs the 2×2 rect (1,0)-(3,2)
+_LSHAPE = "POLYGON ((0 0,2 0,2 1,1 1,1 2,0 2,0 0))"
+_RECTB = "POLYGON ((1 0,3 0,3 2,1 2,1 0))"
+
+
+def _concave_dfs(spark):
+    from gdal_spark.geometry import wkt as _wkt
+
+    A = spark.createDataFrame(
+        [(bytearray(_wkt.wkt_to_wkb(_LSHAPE)), 1)], "geometry BINARY, a_val INT"
+    )
+    B = spark.createDataFrame(
+        [(bytearray(_wkt.wkt_to_wkb(_RECTB)), "m")], "geometry BINARY, b_val STRING"
+    )
+    return A, B
+
+
+@_register(
+    "layer_union_concave",
+    # hand-computed per-feature areas: A∩B = 1, A∖B = 2, B∖A = 3
+    "SELECT * FROM (VALUES (1000000, 1), (2000000, 1), (3000000, 1)) "
+    "t(area_e6, n) ORDER BY area_e6",
+)
+def q_layer_union_concave(spark, sf_dir):
+    """Union with a CONCAVE input (r1 supported convex only): verify the
+    piece areas against hand-computed truth, grouped by area."""
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.operators.layer_algebra import union
+
+    A, B = _concave_dfs(spark)
+    out = union(A, B)
+    return (
+        out.select(
+            F.floor(st_area("geometry") * 1_000_000 + F.lit(0.5)).cast("long").alias("area_e6")
+        )
+        .groupBy("area_e6")
+        .agg(F.count(F.lit(1)).cast("int").alias("n"))
+        .orderBy("area_e6")
+    )
+
+
+@_register(
+    "layer_erase_concave",
+    "SELECT CAST(2000000 AS BIGINT) AS area_e6",
+)
+def q_layer_erase_concave(spark, sf_dir):
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.operators.layer_algebra import erase
+
+    A, B = _concave_dfs(spark)
+    out = erase(A, B)
+    return out.agg(
+        F.floor(F.sum(st_area("geometry")) * 1_000_000 + F.lit(0.5)).cast("long").alias("area_e6")
+    )
+
+
+@_register(
+    "layer_clip_concave",
+    "SELECT CAST(1000000 AS BIGINT) AS area_e6",
+)
+def q_layer_clip_concave(spark, sf_dir):
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.operators.layer_algebra import clip
+
+    A, B = _concave_dfs(spark)
+    out = clip(A, B)
+    return out.agg(
+        F.floor(F.sum(st_area("geometry")) * 1_000_000 + F.lit(0.5)).cast("long").alias("area_e6")
+    )
+
+
+@_register(
+    "layer_symdiff_concave",
+    "SELECT CAST(5000000 AS BIGINT) AS area_e6",  # (3-1) + (4-1)
+)
+def q_layer_symdiff_concave(spark, sf_dir):
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.operators.layer_algebra import sym_difference
+
+    A, B = _concave_dfs(spark)
+    out = sym_difference(A, B)
+    return out.agg(
+        F.floor(F.sum(st_area("geometry")) * 1_000_000 + F.lit(0.5)).cast("long").alias("area_e6")
+    )
+
+
+_GJ_FIXTURE = (
+    '{"type": "FeatureCollection", "features": ['
+    '{"type": "Feature", "properties": {"name": "alpha", "rank": 1}, '
+    '"geometry": {"type": "Point", "coordinates": [10.5, 20.25]}}, '
+    '{"type": "Feature", "properties": {"name": "beta", "rank": 2}, '
+    '"geometry": {"type": "Polygon", "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]]}}, '
+    '{"type": "Feature", "properties": {"name": "gamma", "rank": 3}, '
+    '"geometry": {"type": "LineString", "coordinates": [[1, 1], [2, 3], [5, 5]]}}'
+    ']}'
+)
+
+
+@_register(
+    "geojson_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('alpha', 1, 'Point', 0),
+      ('beta', 2, 'Polygon', 16000000),
+      ('gamma', 3, 'LineString', 0)
+    ) t(name, rank, gtype, area_e6) ORDER BY rank
+    """,
+)
+def q_geojson_roundtrip(spark, sf_dir):
+    """GeoJSON read → WKB geometry column → write back to GeoJSON strings;
+    verify properties, geometry type, and area survive the roundtrip
+    (reference driver: ogr/ogrsf_frmts/geojson)."""
+    import os
+    import tempfile
+
+    from gdal_spark.functions.st import st_area, st_geometrytype
+    from gdal_spark.sources.geojson import read_geojson, write_geojson_strings
+
+    from gdal_spark.sources.geojson import geojson_col_to_wkb
+
+    d = tempfile.mkdtemp(prefix="gj_gate_")
+    path = os.path.join(d, "fixture.geojson")
+    with open(path, "w") as f:
+        f.write(_GJ_FIXTURE)
+    df = read_geojson(spark, path)
+    # full roundtrip: WKB → GeoJSON string → WKB again
+    written = write_geojson_strings(df, "geometry")
+    back = written.withColumn("geometry", geojson_col_to_wkb(F.col("geometry")))
+    return (
+        back.select(
+            "name",
+            F.col("rank").cast("int").alias("rank"),
+            st_geometrytype(F.col("geometry")).alias("gtype"),
+            F.floor(st_area("geometry") * 1_000_000 + F.lit(0.5)).cast("long").alias("area_e6"),
+        )
+        .orderBy("rank")
+    )
+
+
+@_register("overview_gauss_checksum")
+def q_overview_gauss_checksum(spark, sf_dir):
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import synth_raster
+    from gdal_spark.raster.resample import downsample2
+
+    meta = _synth_meta()
+    lvl1, m1 = downsample2(synth_raster(spark, meta), meta, alg="gauss")
+    cs = checksum_df(lvl1, m1)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_overview_gauss() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.resample import downsample2_np
+
+    full, _ = _synth_full_np()
+    return f"SELECT CAST({checksum_np(downsample2_np(full, 'gauss'))} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("overview_gauss_checksum", _oracle_overview_gauss)
+
+
+@_register("overview_lanczos_checksum")
+def q_overview_lanczos_checksum(spark, sf_dir):
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import synth_raster
+    from gdal_spark.raster.resample import downsample2
+
+    meta = _synth_meta()
+    lvl1, m1 = downsample2(synth_raster(spark, meta), meta, alg="lanczos")
+    cs = checksum_df(lvl1, m1)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_overview_lanczos() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.resample import downsample2_np
+
+    full, _ = _synth_full_np()
+    return f"SELECT CAST({checksum_np(downsample2_np(full, 'lanczos'))} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("overview_lanczos_checksum", _oracle_overview_lanczos)
+
+
+@_register("contour_lines_stitched")
+def q_contour_lines_stitched(spark, sf_dir):
+    from gdal_spark.raster.analysis import contour_lines
+    from gdal_spark.raster.model import RasterMeta, synth_raster
+
+    meta = RasterMeta(width=30, height=20, dtype="float32", block_w=10, block_h=10)
+    out = contour_lines(synth_raster(spark, meta), meta, interval=200.0)
+    return out.select(
+        F.floor("level").cast("long").alias("level"),
+        F.col("line_id").cast("long").alias("line_id"),
+        "wkt",
+    ).orderBy("level", "line_id")
+
+
+def _oracle_contour_lines() -> str:
+    from gdal_spark.raster.analysis import contour_lines_np, interval_levels
+    from gdal_spark.raster.model import RasterMeta, synth_block_np
+
+    meta = RasterMeta(width=30, height=20, dtype="float32", block_w=10, block_h=10)
+    full = np.zeros((20, 30), dtype="float32")
+    for by in range(meta.blocks_y):
+        for bx in range(meta.blocks_x):
+            h, w = meta.block_shape(bx, by)
+            full[by*10:by*10+h, bx*10:bx*10+w] = synth_block_np(bx, by, h, w, meta)
+    levels = interval_levels(float(full.min()), float(full.max()), 200.0)
+    rows = ", ".join(
+        f"({int(np.floor(lv))}, {i}, '{w}')"
+        for lv, i, w in contour_lines_np(full, levels)
+    )
+    return (
+        "SELECT CAST(level AS BIGINT) AS level, CAST(line_id AS BIGINT) AS line_id, wkt "
+        f"FROM (VALUES {rows}) t(level, line_id, wkt) ORDER BY level, line_id"
+    )
+
+
+_lazy_oracle("contour_lines_stitched", _oracle_contour_lines)
+
+
+@_register("sieve_relabel")
+def q_sieve_relabel(spark, sf_dir):
+    """Sieve relabel table on the reference polygonize fixture with true
+    pixel adjacency; threshold 3 merges the sub-3-pixel regions."""
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array
+    from gdal_spark.raster.polygonize import sieve
+
+    meta = RasterMeta(width=5, height=7, dtype="uint8", block_w=2, block_h=3)
+    out = sieve(tiles_from_array(spark, _polygonize_grd(), meta), meta, threshold=3)
+    return (
+        out.select(
+            F.floor("old_value").cast("long").alias("old_value"),
+            F.floor("new_value").cast("long").alias("new_value"),
+        )
+        .groupBy("old_value", "new_value")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("old_value", "new_value")
+    )
+
+
+def _oracle_sieve_relabel() -> str:
+    """Independent plain-Python sieve: BFS labeling + pixel-adjacency
+    neighbor search + largest-neighbor merge (no shared code with the
+    distributed path beyond the fixture)."""
+    arr = _polygonize_grd()
+    h, w = arr.shape
+    lab = -np.ones((h, w), dtype=int)
+    regions = []
+    for y in range(h):
+        for x in range(w):
+            if lab[y, x] >= 0:
+                continue
+            rid = len(regions)
+            stack = [(y, x)]
+            lab[y, x] = rid
+            px = []
+            while stack:
+                cy, cx = stack.pop()
+                px.append((cy, cx))
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    ny, nx = cy + dy, cx + dx
+                    if 0 <= ny < h and 0 <= nx < w and lab[ny, nx] < 0 \
+                            and arr[ny, nx] == arr[cy, cx]:
+                        lab[ny, nx] = rid
+                        stack.append((ny, nx))
+            regions.append((int(arr[y, x]), px))
+    nbrs = {i: set() for i in range(len(regions))}
+    for y in range(h):
+        for x in range(w):
+            for dy, dx in ((1, 0), (0, 1)):
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < h and 0 <= nx < w and lab[ny, nx] != lab[y, x]:
+                    nbrs[lab[y, x]].add(lab[ny, nx])
+                    nbrs[lab[ny, nx]].add(lab[y, x])
+    from collections import Counter
+
+    counts = Counter()
+    for i, (val, px) in enumerate(regions):
+        if len(px) >= 3 or not nbrs[i]:
+            counts[(val, val)] += 1
+            continue
+        # largest neighbor, tie → smaller region id (region ids follow
+        # scan order, matching the distributed root ordering by first
+        # pixel index)
+        best = max(nbrs[i], key=lambda j: (len(regions[j][1]), -j))
+        counts[(val, regions[best][0])] += 1
+    rows = ", ".join(
+        f"({ov}, {nv}, {n})" for (ov, nv), n in sorted(counts.items())
+    )
+    return (
+        "SELECT CAST(old_value AS BIGINT) AS old_value, CAST(new_value AS BIGINT) AS new_value, "
+        f"CAST(n AS BIGINT) AS n FROM (VALUES {rows}) t(old_value, new_value, n) "
+        "ORDER BY old_value, new_value"
+    )
+
+
+_lazy_oracle("sieve_relabel", _oracle_sieve_relabel)
+
+
+_GEOD_POLYS = [
+    (1, [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]),
+    (2, [(10.0, 45.0), (12.5, 45.0), (11.0, 47.0), (10.0, 45.0)]),
+    (3, [(-60.0, -30.0), (-58.0, -30.0), (-58.0, -28.0), (-60.0, -28.0), (-60.0, -30.0)]),
+]
+
+
+def _cd_ring_sql(ring) -> str:
+    """Chamberlain–Duquette spherical-excess area, emitted as explicit
+    left-to-right SQL so DuckDB evaluates the identical formula the
+    engine's NumPy kernel uses (independent trig/double evaluation)."""
+    terms = []
+    for (l0, p0), (l1, p1) in zip(ring[:-1], ring[1:]):
+        terms.append(
+            f"((radians({tiling.dlit(l1)}) - radians({tiling.dlit(l0)})) * "
+            f"(2.0e0 + sin(radians({tiling.dlit(p0)})) + sin(radians({tiling.dlit(p1)}))))"
+        )
+    return f"(abs({' + '.join(terms)}) * {tiling.dlit(6371007.180918474)} * {tiling.dlit(6371007.180918474)} / 2.0e0)"
+
+
+@_register(
+    "st_geodesic_area_polys",
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"({pid}, CAST(FLOOR({_cd_ring_sql(ring)} + 0.5e0) AS BIGINT))"
+        for pid, ring in _GEOD_POLYS
+    )
+    + ") t(pid, area_m2) ORDER BY pid",
+)
+def q_st_geodesic_area_polys(spark, sf_dir):
+    """Geodesic (authalic-sphere) polygon area — the engine's analogue of
+    ogrsqlitesqlfunctions.cpp ST_Area(geog); oracle = DuckDB evaluating
+    the same Chamberlain–Duquette formula with its own trig."""
+    from gdal_spark.functions.st import st_geodesic_area
+    from gdal_spark.geometry import wkb as _wkb
+
+    rows = [
+        (pid, bytearray(_wkb.polygon_wkb(np.array(ring))))
+        for pid, ring in _GEOD_POLYS
+    ]
+    df = spark.createDataFrame(rows, "pid INT, geometry BINARY")
+    return df.select(
+        "pid",
+        F.floor(st_geodesic_area(F.col("geometry")) + F.lit(0.5)).cast("long").alias("area_m2"),
+    ).orderBy("pid")
+
+
 # -- 9. raster operator checksums -------------------------------------------
 
 def _terrain_meta():

@@ -215,6 +215,42 @@ def st_buffer(g: pd.Series, dist: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# -- set ops / validity / DE-9IM additions -----------------------------------
+
+st_union = _pair_udf(lambda a, b: wkt.geom_to_wkb(*ops.union_geom(a, b)), BinaryType())
+st_difference = _pair_udf(
+    lambda a, b: wkt.geom_to_wkb(*ops.difference(a, b)), BinaryType()
+)
+st_symdifference = _pair_udf(
+    lambda a, b: wkt.geom_to_wkb(*ops.sym_difference_geom(a, b)), BinaryType()
+)
+st_isvalid = _unary_udf(ops.is_valid, BooleanType())
+st_issimple = _unary_udf(ops.is_simple, BooleanType())
+st_crosses = _pair_udf(ops.crosses, BooleanType())
+st_overlaps = _pair_udf(ops.overlaps, BooleanType())
+
+
+@F.pandas_udf(BinaryType())
+def st_asbinary(g: pd.Series) -> pd.Series:
+    return g  # geometries already travel as WKB
+
+
+@F.pandas_udf(BinaryType())
+def st_geomfromwkb(g: pd.Series) -> pd.Series:
+    # validate by parsing; passthrough bytes
+    for b in g:
+        if b is not None:
+            wkb.parse_wkb(bytes(b))
+    return g
+
+
+# geodesic measures over lon/lat WKB (ogrsqlitesqlfunctions.cpp:1230
+# ST_Area(geog)/ST_Length(geog); area SIMPLIFIED to the authalic sphere,
+# length via Vincenty — see geometry/ops.py docstrings)
+st_geodesic_area = _unary_udf(ops.geodesic_area, DoubleType())
+st_geodesic_length = _unary_udf(ops.geodesic_length, DoubleType())
+
+
 _REGISTRY = {
     "st_intersects": st_intersects,
     "st_disjoint": st_disjoint,
@@ -236,6 +272,17 @@ _REGISTRY = {
     "st_convexhull": st_convexhull,
     "st_intersection": st_intersection,
     "st_buffer": st_buffer,
+    "st_union": st_union,
+    "st_difference": st_difference,
+    "st_symdifference": st_symdifference,
+    "st_isvalid": st_isvalid,
+    "st_issimple": st_issimple,
+    "st_crosses": st_crosses,
+    "st_overlaps": st_overlaps,
+    "st_asbinary": st_asbinary,
+    "st_geomfromwkb": st_geomfromwkb,
+    "st_geodesic_area": st_geodesic_area,
+    "st_geodesic_length": st_geodesic_length,
 }
 
 

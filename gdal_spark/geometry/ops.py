@@ -835,3 +835,340 @@ def buffer_point(x: float, y: float, dist: float, quadsegs: int = 30):
     ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
     ring = np.column_stack([x + dist * np.cos(ang), y + dist * np.sin(ang)])
     return ("Polygon", [np.vstack([ring, ring[:1]])])
+
+
+# ---------------------------------------------------------------------------
+# constructive set ops on geometries (general kernel-backed)
+# ---------------------------------------------------------------------------
+
+def _pieces_to_geom(rings: list):
+    rings = [r for r in rings if len(r) and abs(kernels.ring_area(r)) > 0]
+    if not rings:
+        return ("Polygon", [])
+    if len(rings) == 1:
+        return ("Polygon", [rings[0]])
+    return ("MultiPolygon", [("Polygon", [r]) for r in rings])
+
+
+def difference(a, b):
+    """A ∖ B for arbitrary simple polygons-with-holes (piece decomposition)."""
+    pa, pb = _polygons_of(a), _polygons_of(b)
+    if not pa or not pb:
+        raise NotImplementedError("difference requires polygonal inputs")
+    out = []
+    for ra in pa:
+        out.extend(difference_pieces(ra, pb))
+    return _pieces_to_geom(out)
+
+
+def union_geom(a, b):
+    """A ∪ B = A + (B ∖ A) as disjoint pieces (area-exact; not dissolved)."""
+    pa, pb = _polygons_of(a), _polygons_of(b)
+    if not pa or not pb:
+        raise NotImplementedError("union requires polygonal inputs")
+    out = []
+    for ra in pa:
+        out.extend(polygon_pieces(ra))
+    for rb in pb:
+        out.extend(difference_pieces(rb, pa))
+    return _pieces_to_geom(out)
+
+
+def sym_difference_geom(a, b):
+    """(A ∖ B) ∪ (B ∖ A) as disjoint pieces."""
+    pa, pb = _polygons_of(a), _polygons_of(b)
+    if not pa or not pb:
+        raise NotImplementedError("symdifference requires polygonal inputs")
+    out = []
+    for ra in pa:
+        out.extend(difference_pieces(ra, pb))
+    for rb in pb:
+        out.extend(difference_pieces(rb, pa))
+    return _pieces_to_geom(out)
+
+
+# ---------------------------------------------------------------------------
+# validity / simplicity / DE-9IM-lite predicates (simplified semantics)
+# ---------------------------------------------------------------------------
+
+def _seg_intersect(p1, p2, p3, p4, proper_only=False):
+    """Segment intersection test (2D, exact-sign arithmetic on doubles)."""
+    d1 = np.cross(p4 - p3, p1 - p3)
+    d2 = np.cross(p4 - p3, p2 - p3)
+    d3 = np.cross(p2 - p1, p3 - p1)
+    d4 = np.cross(p2 - p1, p4 - p1)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) and d1 != d2 and d3 != d4:
+        return True  # proper crossing
+    if proper_only:
+        return False
+
+    def on_seg(p, a, b):
+        return (
+            np.cross(b - a, p - a) == 0
+            and min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
+        )
+
+    return (
+        on_seg(p3, p1, p2) or on_seg(p4, p1, p2)
+        or on_seg(p1, p3, p4) or on_seg(p2, p3, p4)
+    )
+
+
+def _ring_self_intersects(r: np.ndarray) -> bool:
+    """O(n²) pairwise proper-intersection over non-adjacent ring edges."""
+    rr = np.asarray(r, dtype=float)
+    if len(rr) and np.array_equal(rr[0], rr[-1]):
+        rr = rr[:-1]
+    n = len(rr)
+    for i in range(n):
+        a, b = rr[i], rr[(i + 1) % n]
+        for j in range(i + 1, n):
+            if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                continue
+            c, d = rr[j], rr[(j + 1) % n]
+            if _seg_intersect(a, b, c, d):
+                return True
+    return False
+
+
+def is_valid(g) -> bool:
+    """SIMPLIFIED OGR_G_IsValid: rings closed with ≥4 points, nonzero
+    area, no self-intersection, holes (first vertex) inside the exterior.
+    (GEOS additionally checks ring nesting/connected interiors.)"""
+    name, payload = g
+    polys = _polygons_of(g)
+    if polys:
+        for rings in polys:
+            for r in rings:
+                rr = np.asarray(r, dtype=float)
+                if len(rr) < 4 or not np.array_equal(rr[0], rr[-1]):
+                    return False
+                if abs(kernels.ring_area(rr)) <= 0:
+                    return False
+                if _ring_self_intersects(rr):
+                    return False
+            ext = np.asarray(rings[0], dtype=float)
+            for hole in rings[1:]:
+                h0 = np.asarray(hole, dtype=float)[0]
+                if not kernels.points_in_ring_np(np.array([h0[0]]), np.array([h0[1]]), ext)[0]:
+                    return False
+        return True
+    if name == "LineString":
+        return len(payload) >= 2
+    if name == "Point":
+        return not (np.isnan(payload[0]) or np.isnan(payload[1]))
+    if name in ("MultiPoint", "MultiLineString", "GeometryCollection"):
+        children = (
+            payload if name == "GeometryCollection"
+            else [("Point", p) for p in payload] if name == "MultiPoint"
+            else [("LineString", c) for _, c in payload]
+        )
+        return all(is_valid(c) for c in children)
+    return True
+
+
+def is_simple(g) -> bool:
+    """SIMPLIFIED OGR_G_IsSimple: linestrings have no self-intersection
+    away from shared endpoints; multipoints have no duplicates; polygonal
+    inputs defer to :func:`is_valid`."""
+    name, payload = g
+    if name == "LineString":
+        pts = np.asarray(payload, dtype=float)
+        n = len(pts) - 1
+        for i in range(n):
+            for j in range(i + 2, n):
+                if i == 0 and j == n - 1 and np.array_equal(pts[0], pts[-1]):
+                    continue  # closed line may share its endpoint
+                if _seg_intersect(pts[i], pts[i + 1], pts[j], pts[j + 1]):
+                    return False
+        return True
+    if name == "MultiPoint":
+        seen = {tuple(np.round(np.asarray(p, float), 12)) for p in payload}
+        return len(seen) == len(payload)
+    if name == "MultiLineString":
+        return all(is_simple(("LineString", c)) for _, c in payload)
+    if _polygons_of(g):
+        return is_valid(g)
+    return True
+
+
+def crosses(a, b) -> bool:
+    """SIMPLIFIED OGR Crosses: line/line → a proper interior crossing
+    exists; line/polygon → the line has points strictly inside AND
+    strictly outside. Polygon/polygon never cross (per DE-9IM)."""
+    la, lb = _lines_of_pure(a), _lines_of_pure(b)
+    pa, pb = _polygons_of(a), _polygons_of(b)
+    if la and lb:
+        for ca in la:
+            A = np.asarray(ca, float)
+            for cb in lb:
+                B = np.asarray(cb, float)
+                for i in range(len(A) - 1):
+                    for j in range(len(B) - 1):
+                        if _seg_intersect(A[i], A[i + 1], B[j], B[j + 1], proper_only=True):
+                            return True
+        return False
+    if la and pb:
+        return _line_crosses_polygons(la, pb)
+    if lb and pa:
+        return _line_crosses_polygons(lb, pa)
+    return False
+
+
+def _lines_of_pure(g):
+    name, payload = g
+    if name == "LineString":
+        return [payload]
+    if name == "MultiLineString":
+        return [c for _, c in payload]
+    if name == "GeometryCollection":
+        out = []
+        for child in payload:
+            out.extend(_lines_of_pure(child))
+        return out
+    return []
+
+
+def _line_crosses_polygons(lines, polys) -> bool:
+    def inside(p):
+        px = np.array([p[0]])
+        py = np.array([p[1]])
+        for rings in polys:
+            if kernels.points_in_ring_np(px, py, np.asarray(rings[0], float))[0]:
+                if not any(
+                    kernels.points_in_ring_np(px, py, np.asarray(h, float))[0]
+                    for h in rings[1:]
+                ):
+                    return True
+        return False
+
+    has_in = has_out = False
+    for c in lines:
+        pts = np.asarray(c, float)
+        # sample vertices and segment midpoints
+        mids = (pts[1:] + pts[:-1]) / 2.0
+        for p in np.vstack([pts, mids]):
+            if inside(p):
+                has_in = True
+            else:
+                has_out = True
+            if has_in and has_out:
+                return True
+    return False
+
+
+def overlaps(a, b) -> bool:
+    """SIMPLIFIED OGR Overlaps for polygons: positive intersection area
+    while neither side's area equals it (neither contains the other)."""
+    pa, pb = _polygons_of(a), _polygons_of(b)
+    if not pa or not pb:
+        return False
+    inter = intersection(a, b)
+    ai = area(inter)
+    if ai <= 0:
+        return False
+    return ai < area(a) - 1e-12 * max(1.0, area(a)) and ai < area(b) - 1e-12 * max(
+        1.0, area(b)
+    )
+
+
+# ---------------------------------------------------------------------------
+# geodesic measures (lon/lat degree inputs on WGS84)
+# ---------------------------------------------------------------------------
+
+R_AUTHALIC = 6371007.180918474  # WGS84 authalic sphere radius
+
+
+def geodesic_ring_area(ring: np.ndarray) -> float:
+    """Chamberlain–Duquette spherical excess area on the WGS84 authalic
+    sphere (SIMPLIFIED vs the reference's GeographicLib ellipsoidal area,
+    ogrsqlitesqlfunctions.cpp ST_Area(geog): deviation ≲0.1%)."""
+    r = np.asarray(ring, dtype=float)
+    if len(r) < 3:
+        return 0.0
+    lam = np.deg2rad(r[:, 0])
+    phi = np.deg2rad(r[:, 1])
+    if not np.array_equal(r[0], r[-1]):
+        lam = np.append(lam, lam[0])
+        phi = np.append(phi, phi[0])
+    s = np.sum((lam[1:] - lam[:-1]) * (2.0 + np.sin(phi[1:]) + np.sin(phi[:-1])))
+    return abs(s) * R_AUTHALIC * R_AUTHALIC / 2.0
+
+
+def geodesic_area(g) -> float:
+    total = 0.0
+    for rings in _polygons_of(g):
+        total += geodesic_ring_area(rings[0])
+        for hole in rings[1:]:
+            total -= geodesic_ring_area(hole)
+    return total
+
+
+def vincenty_distance(lon1, lat1, lon2, lat2, iters: int = 60):
+    """Vectorized Vincenty inverse (WGS84): geodesic distance in meters
+    (public algorithm, T. Vincenty 1975). Antipodal near-failures fall
+    back to the haversine-on-authalic-sphere value."""
+    a = 6378137.0
+    f = 1.0 / 298.257223563
+    b = a * (1.0 - f)
+    lon1 = np.asarray(lon1, float)
+    lat1 = np.asarray(lat1, float)
+    lon2 = np.asarray(lon2, float)
+    lat2 = np.asarray(lat2, float)
+    U1 = np.arctan((1 - f) * np.tan(np.deg2rad(lat1)))
+    U2 = np.arctan((1 - f) * np.tan(np.deg2rad(lat2)))
+    L = np.deg2rad(lon2 - lon1)
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+    lam = L.copy()
+    for _ in range(iters):
+        sinl, cosl = np.sin(lam), np.cos(lam)
+        sin_sigma = np.sqrt(
+            (cosU2 * sinl) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cosl) ** 2
+        )
+        cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cosl
+        sigma = np.arctan2(sin_sigma, cos_sigma)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sin_alpha = np.where(sin_sigma != 0, cosU1 * cosU2 * sinl / np.where(sin_sigma == 0, 1, sin_sigma), 0.0)
+            cos2_alpha = 1.0 - sin_alpha**2
+            cos_2sm = np.where(
+                cos2_alpha != 0,
+                cos_sigma - 2 * sinU1 * sinU2 / np.where(cos2_alpha == 0, 1, cos2_alpha),
+                0.0,
+            )
+        C = f / 16.0 * cos2_alpha * (4 + f * (4 - 3 * cos2_alpha))
+        lam_new = L + (1 - C) * f * sin_alpha * (
+            sigma + C * sin_sigma * (cos_2sm + C * cos_sigma * (-1 + 2 * cos_2sm**2))
+        )
+        if np.all(np.abs(lam_new - lam) < 1e-12):
+            lam = lam_new
+            break
+        lam = lam_new
+    u2 = cos2_alpha * (a * a - b * b) / (b * b)
+    A = 1 + u2 / 16384.0 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+    B = u2 / 1024.0 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+    dsig = B * sin_sigma * (
+        cos_2sm
+        + B / 4.0 * (
+            cos_sigma * (-1 + 2 * cos_2sm**2)
+            - B / 6.0 * cos_2sm * (-3 + 4 * sin_sigma**2) * (-3 + 4 * cos_2sm**2)
+        )
+    )
+    d = b * A * (sigma - dsig)
+    # degenerate same-point pairs
+    same = (lon1 == lon2) & (lat1 == lat2)
+    return np.where(same, 0.0, d)
+
+
+def geodesic_length(g) -> float:
+    total = 0.0
+    for c in _lines_of(g):
+        pts = np.asarray(c, dtype=float)
+        if len(pts) >= 2:
+            total += float(
+                vincenty_distance(
+                    pts[:-1, 0], pts[:-1, 1], pts[1:, 0], pts[1:, 1]
+                ).sum()
+            )
+    return total

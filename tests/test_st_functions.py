@@ -152,3 +152,71 @@ def test_st_pairwise_on_reference_polys(spark):
     cent = df.select("id", st_contains("geometry", st_centroid("geometry")).alias("c")).collect()
     # centroid inside for all these (they're near-convex parcels)
     assert sum(1 for r in cent if r.c) >= 9
+
+
+def test_st_setops_and_predicates(spark):
+    """ST_Union/Difference/SymDifference/IsValid/IsSimple/Crosses/Overlaps
+    (ogrsqlitesqlfunctions.cpp:1188-1223 registry additions)."""
+    from gdal_spark.functions import st
+    from gdal_spark.geometry import wkt as _wkt
+    from pyspark.sql import functions as F
+
+    sq = "POLYGON ((0 0,4 0,4 4,0 4,0 0))"
+    off = "POLYGON ((3 3,5 3,5 5,3 5,3 3))"
+    bow = "POLYGON ((0 0,2 2,2 0,0 2,0 0))"
+    l1 = "LINESTRING (0 0,4 4)"
+    l2 = "LINESTRING (0 4,4 0)"
+    df = spark.createDataFrame(
+        [(bytearray(_wkt.wkt_to_wkb(sq)), bytearray(_wkt.wkt_to_wkb(off)),
+          bytearray(_wkt.wkt_to_wkb(bow)), bytearray(_wkt.wkt_to_wkb(l1)),
+          bytearray(_wkt.wkt_to_wkb(l2)))],
+        "sq BINARY, off BINARY, bow BINARY, l1 BINARY, l2 BINARY",
+    )
+    r = df.select(
+        st.st_area(st.st_union(F.col("sq"), F.col("off"))).alias("u"),
+        st.st_area(st.st_difference(F.col("sq"), F.col("off"))).alias("d"),
+        st.st_area(st.st_symdifference(F.col("sq"), F.col("off"))).alias("s"),
+        st.st_isvalid(F.col("sq")).alias("v1"),
+        st.st_isvalid(F.col("bow")).alias("v2"),
+        st.st_issimple(F.col("l1")).alias("s1"),
+        st.st_crosses(F.col("l1"), F.col("l2")).alias("c"),
+        st.st_overlaps(F.col("sq"), F.col("off")).alias("o"),
+    ).collect()[0]
+    assert abs(r.u - 19.0) < 1e-9
+    assert abs(r.d - 15.0) < 1e-9
+    assert abs(r.s - 18.0) < 1e-9  # (16-1) + (4-1)
+    assert r.v1 and not r.v2
+    assert r.s1 and r.c and r.o
+
+
+def test_st_geodesic_measures(spark):
+    from gdal_spark.functions import st
+    from gdal_spark.geometry import wkt as _wkt
+    from pyspark.sql import functions as F
+
+    # equator segment of 1 degree and a 1x1 deg square at the equator
+    line = "LINESTRING (0 0,1 0)"
+    sq = "POLYGON ((0 0,1 0,1 1,0 1,0 0))"
+    df = spark.createDataFrame(
+        [(bytearray(_wkt.wkt_to_wkb(line)), bytearray(_wkt.wkt_to_wkb(sq)))],
+        "l BINARY, p BINARY",
+    )
+    r = df.select(
+        st.st_geodesic_length(F.col("l")).alias("len"),
+        st.st_geodesic_area(F.col("p")).alias("area"),
+    ).collect()[0]
+    assert abs(r.len - 111319.4908) < 0.01  # WGS84 equatorial degree
+    assert abs(r.area - 12364e6) / 12364e6 < 0.002  # ~12364 km^2
+
+
+def test_st_wkb_roundtrip(spark):
+    from gdal_spark.functions import st
+    from gdal_spark.geometry import wkt as _wkt
+    from pyspark.sql import functions as F
+
+    w = "POLYGON ((0 0,4 0,4 4,0 4,0 0))"
+    df = spark.createDataFrame([(bytearray(_wkt.wkt_to_wkb(w)),)], "g BINARY")
+    r = df.select(
+        st.st_astext(st.st_geomfromwkb(st.st_asbinary(F.col("g")))).alias("t")
+    ).collect()[0]
+    assert "POLYGON" in r.t
