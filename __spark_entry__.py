@@ -1520,6 +1520,44 @@ def _oracle_sieve_relabel() -> str:
 _lazy_oracle("sieve_relabel", _oracle_sieve_relabel)
 
 
+@_register("shapefile_poly_read")
+def q_shapefile_poly_read(spark, sf_dir):
+    """Read the reference's ACTUAL poly.shp fixture with the native
+    shapefile reader; geometry shoelace areas must reproduce the .dbf
+    AREA goldens (autotest/ogr/data/poly.{shp,dbf})."""
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.sources.shapefile import read_shapefile
+
+    df = read_shapefile(spark, "/root/reference/autotest/ogr/data/poly.shp")
+    return df.select(
+        F.col("EAS_ID").cast("long").alias("eas_id"),
+        "PRFEDEA",
+        F.floor(st_area(F.col("geometry")) + F.lit(0.5)).cast("long").alias("area_m"),
+    ).orderBy("eas_id")
+
+
+def _oracle_shapefile_poly() -> str:
+    """Oracle = the attribute table extracted to fixtures_poly.POLY_ATTRS
+    in round 1 (independent of the binary parser)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from fixtures_poly import POLY_ATTRS
+
+    rows = ", ".join(
+        f"({eas}, '{prf}', {int(np.floor(abs(area) + 0.5))})"
+        for area, eas, prf in sorted(POLY_ATTRS, key=lambda t: t[1])
+    )
+    return (
+        "SELECT CAST(eas_id AS BIGINT) AS eas_id, PRFEDEA, "
+        f"CAST(area_m AS BIGINT) AS area_m FROM (VALUES {rows}) "
+        "t(eas_id, PRFEDEA, area_m) ORDER BY eas_id"
+    )
+
+
+_lazy_oracle("shapefile_poly_read", _oracle_shapefile_poly)
+
+
 _GEOD_POLYS = [
     (1, [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]),
     (2, [(10.0, 45.0), (12.5, 45.0), (11.0, 47.0), (10.0, 45.0)]),
