@@ -1955,6 +1955,70 @@ def _oracle_grid() -> str:
 _lazy_oracle("grid_invdist_checksum", _oracle_grid)
 
 
+@_register("grid_linear_checksum")
+def q_grid_linear_checksum(spark, sf_dir):
+    """GGA_Linear (Delaunay TIN + barycentric; alg/gdalgrid.cpp
+    GDALGridLinear) — broadcast triangulation, distributed interpolation."""
+    import pandas as _pd
+
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.grid import grid_linear
+    from gdal_spark.raster.model import RasterMeta
+
+    px, py, pz = _grid_fixture_points()
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    pts = spark.createDataFrame(_pd.DataFrame({"x": px, "y": py, "z": pz}))
+    cs = checksum_df(grid_linear(pts, meta, radius=5.0, nodata=-1.0), meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_grid_linear() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.grid import grid_linear_np
+    from gdal_spark.raster.model import RasterMeta
+
+    px, py, pz = _grid_fixture_points()
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    img = grid_linear_np(px, py, pz, meta, radius=5.0, nodata=-1.0)
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("grid_linear_checksum", _oracle_grid_linear)
+
+
+@_register("grid_avgdist_checksum")
+def q_grid_avgdist_checksum(spark, sf_dir):
+    import pandas as _pd
+
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.grid import grid_points
+    from gdal_spark.raster.model import RasterMeta
+
+    px, py, pz = _grid_fixture_points()
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    pts = spark.createDataFrame(_pd.DataFrame({"x": px, "y": py, "z": pz}))
+    cs = checksum_df(grid_points(pts, meta, alg="avgdist", radius=5.0, min_points=1), meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_grid_avgdist() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.grid import grid_points_np
+    from gdal_spark.raster.model import RasterMeta
+
+    px, py, pz = _grid_fixture_points()
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    img = grid_points_np(px, py, pz, meta, alg="avgdist", radius=5.0, min_points=1)
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("grid_avgdist_checksum", _oracle_grid_avgdist)
+
+
 def _polygonize_fixture():
     arr = np.zeros((12, 16), dtype=np.uint8)
     arr[2:10, 2:7] = 1

@@ -261,3 +261,42 @@ def test_sieve_true_adjacency_beats_bbox(spark):
     # without any shared pixel edge) — that must never happen.
     small = [v for (ov, _), v in relabel.items() if ov == 2.0]
     assert small == [0.0]
+
+
+def test_grid_linear_distributed_matches_numpy(spark):
+    import pandas as pd
+
+    from gdal_spark.raster.grid import grid_linear, grid_linear_np
+    from gdal_spark.raster.model import RasterMeta, tiles_to_array
+
+    rng = np.random.default_rng(9)
+    px = rng.uniform(0, 32, 80)
+    py = rng.uniform(0, 24, 80)
+    pz = rng.uniform(0, 100, 80)
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    pts = spark.createDataFrame(pd.DataFrame({"x": px, "y": py, "z": pz}))
+    got = tiles_to_array(grid_linear(pts, meta, radius=5.0, nodata=-1.0), meta)
+    want = grid_linear_np(px, py, pz, meta, radius=5.0, nodata=-1.0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_grid_metric_algs_match_numpy(spark):
+    import pandas as pd
+
+    from gdal_spark.raster.grid import grid_points, grid_points_np
+    from gdal_spark.raster.model import RasterMeta, tiles_to_array
+
+    rng = np.random.default_rng(11)
+    px = rng.uniform(0, 32, 100)
+    py = rng.uniform(0, 24, 100)
+    pz = rng.uniform(0, 50, 100)
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    pts = spark.createDataFrame(pd.DataFrame({"x": px, "y": py, "z": pz}))
+    for alg in ("avgdist", "avgdistpts", "nearest", "range", "count"):
+        got = tiles_to_array(
+            grid_points(pts, meta, alg=alg, radius=4.0, min_points=1), meta
+        )
+        want = grid_points_np(px, py, pz, meta, alg=alg, radius=4.0, min_points=1)
+        np.testing.assert_array_equal(got, want, err_msg=alg)
