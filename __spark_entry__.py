@@ -702,6 +702,39 @@ def q_ann_knn_cosine_join(spark, sf_dir):
     return knn_cosine_join(q, e, k=3, query_id="vec_id").orderBy("qid", "rank")
 
 
+@_register(
+    "dedup_embedding_cosine",
+    """
+    WITH n AS (
+      SELECT vec_id, embedding,
+        sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm
+      FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+      CAST(FLOOR(
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+          generate_series(1, len(a.embedding)),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x, y) -> x + y)
+        / (a.nrm * b.nrm) * 1000000.0e0 + 0.5e0) AS BIGINT) AS cos_e6
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE CAST(FLOOR(
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+          generate_series(1, len(a.embedding)),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x, y) -> x + y)
+        / (a.nrm * b.nrm) * 1000000.0e0 + 0.5e0) AS BIGINT) >= 200000
+    ORDER BY id1, id2
+    """,
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-space near-dup pairs (exact baseline) — the DuckDB
+    oracle recomputes every pair with the identical sequential fold.
+    The subquadratic bucketed variant is exercised in pytest."""
+    from gdal_spark.operators.similarity import cosine_dedup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_dedup_pairs(e, threshold=0.2).orderBy("id1", "id2")
+
+
 @_register("ann_lsh_bucketed")
 def q_ann_lsh_bucketed(spark, sf_dir):
     from gdal_spark.operators.similarity import lsh_bucketed_topk

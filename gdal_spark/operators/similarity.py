@@ -192,3 +192,63 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "id", "cos_e6", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (training-data dedup)
+# ---------------------------------------------------------------------------
+
+def cosine_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    probe_flips: int = 2,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """All id1 < id2 pairs with cosine ≥ threshold — the embedding-space
+    near-dup detector of a training-data pipeline.
+
+    ``n_planes=None`` → exact all-pairs self-join (O(N²) candidate
+    volume; the correctness baseline, and what the DuckDB oracle can
+    recompute). With ``n_planes`` set → random-hyperplane blocking: only
+    pairs sharing a bucket within ``probe_flips`` bit flips are scored,
+    which is the subquadratic scale path (recall grows with probe_flips;
+    cos ≥ 0.9 pairs differ in few plane signs w.h.p.).
+    Output: (id1, id2, cos_e6).
+    """
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    if n_planes is None:
+        cand = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+    else:
+        if dim is None:
+            raise ValueError("bucketed mode requires dim=")
+        planes = random_hyperplanes(dim, n_planes, seed)
+        a = a.withColumn("b1", _sign_bucket(F.col("v1"), planes))
+        b = b.withColumn("b2", _sign_bucket(F.col("v2"), planes))
+        probes = [0] + [1 << j for j in range(n_planes)]
+        if probe_flips >= 2:
+            probes += [
+                (1 << i) | (1 << j)
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
+        probe_arr = F.array(*[F.lit(p).cast("long") for p in probes])
+        ax = a.select(
+            "id1", "v1",
+            F.explode(
+                F.transform(probe_arr, lambda m: F.col("b1").bitwiseXOR(m))
+            ).alias("bkt"),
+        )
+        bx = b.withColumnRenamed("b2", "bkt")
+        cand = ax.join(bx, "bkt").filter(F.col("id1") < F.col("id2")).drop("bkt")
+    cos = cosine_sim_col(F.col("v1"), F.col("v2"))
+    return (
+        cand.withColumn("cos_e6", F.floor(cos * 1_000_000 + F.lit(0.5)).cast("long"))
+        .filter(F.col("cos_e6") >= F.lit(int(threshold * 1_000_000)))
+        .select("id1", "id2", "cos_e6")
+        .distinct()
+    )

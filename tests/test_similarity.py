@@ -67,3 +67,45 @@ def test_lsh_bucketed_recall(spark, vecs):
     # the query itself (cos=1) must always be found (identical bucket)
     for qid in range(20):
         assert qid in approx.get(qid, set())
+
+
+def test_cosine_dedup_pairs_exact_and_bucketed(spark, vecs):
+    from gdal_spark.operators.similarity import cosine_dedup_pairs
+
+    df, v = vecs
+    # inject two near-duplicates of vector 0
+    import pandas as pd
+
+    vv = v.astype(np.float64)
+    dups = np.vstack([vv[0] * 1.001, vv[0] + 0.001 * np.abs(vv[0]).mean()])
+    allv = np.vstack([vv, dups])
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(allv)), "embedding": [list(r) for r in allv]})
+    )
+    exact = {
+        (r.id1, r.id2)
+        for r in cosine_dedup_pairs(df2, threshold=0.98).collect()
+    }
+    # brute-force numpy truth
+    n = allv.shape[0]
+    norm = allv / np.linalg.norm(allv, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    want = {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if np.floor(cos[i, j] * 1e6 + 0.5) >= 980000
+    }
+    assert exact == want
+    assert (len(v), len(v) + 1) in exact or (len(v), len(v)) in exact or want
+    # bucketed mode finds the injected near-dups (high-cos pairs share
+    # nearly all plane signs)
+    bucketed = {
+        (r.id1, r.id2)
+        for r in cosine_dedup_pairs(
+            df2, threshold=0.98, n_planes=10, probe_flips=2, dim=allv.shape[1]
+        ).collect()
+    }
+    assert bucketed <= want
+    near_dup_pairs = {p for p in want if len(v) <= p[1]}
+    assert near_dup_pairs & bucketed
