@@ -80,10 +80,13 @@ def main():
         "groupby_pricing_summary",
         "window_rank_orders",
         "dedup_exact",
-        "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard_capped",  # the max_df scale path (default)
         "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
         "ann_cosine_topk",
         "ann_knn_cosine_join",
+        "ann_lsh_bucketed",
         "lang_id_counts",
         "doc_fingerprint",
         "raster_checksum_synth",
