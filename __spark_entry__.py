@@ -735,6 +735,32 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return cosine_dedup_pairs(e, threshold=0.2).orderBy("id1", "id2")
 
 
+@_register("dedup_embedding_cosine_lsh")
+def q_dedup_embedding_cosine_lsh(spark, sf_dir):
+    """The SCALE path: sign-bucket blocking (multiprobe) before scoring —
+    candidate volume ∝ bucket occupancy, not N²."""
+    from gdal_spark.operators.similarity import cosine_dedup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_dedup_pairs(
+        e, threshold=0.2, n_planes=10, probe_flips=2, dim=64
+    ).orderBy("id1", "id2")
+
+
+def _oracle_embedding_cosine_lsh() -> str:
+    from gdal_spark.text import ref_impl
+
+    rows = ref_impl.lsh_cosine_pairs_ref(
+        ref_impl.load_embeddings(), threshold=0.2, n_planes=10, probe_flips=2
+    )
+    return ref_impl.values_sql(
+        rows, ["id1", "id2", "cos_e6"], ["BIGINT", "BIGINT", "BIGINT"], "id1, id2"
+    )
+
+
+_lazy_oracle("dedup_embedding_cosine_lsh", _oracle_embedding_cosine_lsh)
+
+
 @_register("ann_lsh_bucketed")
 def q_ann_lsh_bucketed(spark, sf_dir):
     from gdal_spark.operators.similarity import lsh_bucketed_topk

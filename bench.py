@@ -83,7 +83,7 @@ def main():
         "dedup_ngram_jaccard_capped",  # the max_df scale path (default)
         "dedup_minhash_lsh",
         "dedup_simhash",
-        "dedup_embedding_cosine",
+        "dedup_embedding_cosine_lsh",  # bucketed scale path
         "ann_cosine_topk",
         "ann_knn_cosine_join",
         "ann_lsh_bucketed",

@@ -269,3 +269,42 @@ def values_sql(rows, colnames: list[str], coltypes: list[str], order_by: str) ->
     return (
         f"SELECT {sel} FROM (VALUES {body}) t({', '.join(colnames)}) ORDER BY {order_by}"
     )
+
+
+def lsh_cosine_pairs_ref(
+    embeddings: list[tuple[int, list[float]]],
+    threshold: float = 0.2,
+    n_planes: int = 10,
+    probe_flips: int = 2,
+    seed: int = 42,
+) -> list[tuple[int, int, int]]:
+    """(id1, id2, cos_e6) per operators.similarity.cosine_dedup_pairs in
+    bucketed mode: candidates are pairs whose sign-buckets differ in at
+    most ``probe_flips`` bits (the multiprobe set), scored with the
+    sequential fold."""
+    from gdal_spark.operators.similarity import random_hyperplanes
+
+    dim = len(embeddings[0][1])
+    planes = [[float(x) for x in p] for p in random_hyperplanes(dim, n_planes, seed)]
+
+    def bucket(v):
+        acc = 0
+        for j, p in enumerate(planes):
+            if _seq_dot(v, p) > 0:
+                acc |= 1 << j
+        return acc
+
+    b = {vid: bucket(v) for vid, v in embeddings}
+    cut = int(threshold * 1_000_000)
+    out = []
+    for i in range(len(embeddings)):
+        id1, v1 = embeddings[i]
+        for j in range(i + 1, len(embeddings)):
+            id2, v2 = embeddings[j]
+            if bin(b[id1] ^ b[id2]).count("1") > probe_flips:
+                continue
+            cos = _seq_dot(v1, v2) / (_seq_norm(v1) * _seq_norm(v2))
+            cos_e6 = math.floor(cos * 1_000_000 + 0.5)
+            if cos_e6 >= cut:
+                out.append((id1, id2, cos_e6))
+    return sorted(out)
