@@ -220,3 +220,60 @@ def test_subject_holes_respected():
     far = _ring((10, 10), (11, 10), (11, 11), (10, 11))
     pieces = ops.difference_pieces([ext, hole], [[far]])
     assert abs(_pieces_area(pieces) - 12.0) < 1e-9
+
+
+def _star_polygon(rng, n_min=6, n_max=14, cx=0.0, cy=0.0, rmin=0.5, rmax=3.0):
+    """Random simple (star-shaped, usually concave) polygon: angles from
+    bounded positive increments (max angular gap < π — an over-π gap with
+    varying radii can self-intersect), random radii around a center."""
+    import numpy as np
+    n = int(rng.integers(n_min, n_max))
+    inc = rng.uniform(0.3, 1.0, n)
+    ang = np.cumsum(inc) / inc.sum() * 2 * np.pi
+    rad = rng.uniform(rmin, rmax, n)
+    ring = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+    return np.vstack([ring, ring[:1]])
+
+
+def test_overlay_set_algebra_properties_random():
+    """For 40 random concave pairs: area(A∩B) + area(A∖B) == area(A) and
+    inclusion–exclusion for the union — the defining identities of a
+    correct overlay, checked without any reference to the kernel's own
+    internals."""
+    import numpy as np
+    from gdal_spark.geometry import kernels, ops
+
+    rng = np.random.default_rng(123)
+    for trial in range(40):
+        A = _star_polygon(rng, cx=rng.uniform(-1, 1), cy=rng.uniform(-1, 1))
+        B = _star_polygon(rng, cx=rng.uniform(-1, 1), cy=rng.uniform(-1, 1))
+        ga, gb = ("Polygon", [A]), ("Polygon", [B])
+        area_a = kernels.ring_area(A)
+        area_b = kernels.ring_area(B)
+        inter = ops.area(ops.intersection(ga, gb))
+        diff_ab = ops.area(("MultiPolygon", [("Polygon", [r]) for r in ops.difference_pieces([A], [[B]])])) if ops.difference_pieces([A], [[B]]) else 0.0
+        diff_ba = ops.area(("MultiPolygon", [("Polygon", [r]) for r in ops.difference_pieces([B], [[A]])])) if ops.difference_pieces([B], [[A]]) else 0.0
+        union = ops.area(ops.union_geom(ga, gb))
+        scale = max(area_a, area_b, 1.0)
+        assert abs(inter + diff_ab - area_a) < 1e-7 * scale, trial
+        assert abs(inter + diff_ba - area_b) < 1e-7 * scale, trial
+        assert abs(union - (area_a + area_b - inter)) < 1e-7 * scale, trial
+
+
+def test_overlay_properties_with_holes_random():
+    import numpy as np
+    from gdal_spark.geometry import kernels, ops
+
+    rng = np.random.default_rng(7)
+    for trial in range(15):
+        ext = _star_polygon(rng, rmin=2.0, rmax=4.0)
+        hole = _star_polygon(rng, rmin=0.3, rmax=0.9)  # centered inside
+        B = _star_polygon(rng, cx=rng.uniform(-2, 2), cy=rng.uniform(-2, 2))
+        ga = ("Polygon", [ext, hole])
+        gb = ("Polygon", [B])
+        area_a = kernels.ring_area(ext) - kernels.ring_area(hole)
+        inter = ops.area(ops.intersection(ga, gb))
+        pieces = ops.difference_pieces([ext, hole], [[B]])
+        diff_ab = sum(kernels.ring_area(p) for p in pieces)
+        scale = max(area_a, 1.0)
+        assert abs(inter + diff_ab - area_a) < 1e-7 * scale, trial
