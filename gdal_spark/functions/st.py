@@ -97,7 +97,7 @@ def _norm_geom(g):
         if name == "Point":
             pts.append(tuple(np.round(np.asarray(payload, dtype=np.float64), 12)))
         elif name == "MultiPoint":
-            for p in payload:
+            for _, p in payload:
                 pts.append(tuple(np.round(np.asarray(p, dtype=np.float64), 12)))
         elif name == "LineString":
             lines.append(_norm_open_seq(payload))

@@ -1172,3 +1172,79 @@ def geodesic_length(g) -> float:
                 ).sum()
             )
     return total
+
+
+def node_ring(ring: np.ndarray) -> list:
+    """Split a (possibly self-intersecting) closed ring at its proper
+    self-intersection points → list of SIMPLE closed sub-rings (the
+    buffer(0)-style repair MakeValid applies to bowties). Generic
+    position assumed (intersections at isolated points)."""
+    r = np.asarray(ring, dtype=float)
+    if len(r) > 1 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    n = len(r)
+    if n < 3:
+        return []
+    # per-segment list of (t, point) insertions
+    inserts = {i: [] for i in range(n)}
+    for i in range(n):
+        a, b = r[i], r[(i + 1) % n]
+        for j in range(i + 1, n):
+            if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                continue
+            c, d = r[j], r[(j + 1) % n]
+            rxs = np.cross(b - a, d - c)
+            if rxs == 0:
+                continue
+            t = np.cross(c - a, d - c) / rxs
+            u = np.cross(c - a, b - a) / rxs
+            if 0 < t < 1 and 0 < u < 1:
+                p = a + t * (b - a)
+                inserts[i].append((t, p))
+                inserts[j].append((u, p))
+    verts = []
+    for i in range(n):
+        verts.append(r[i])
+        for t, p in sorted(inserts[i], key=lambda x: x[0]):
+            verts.append(p)
+    # loop extraction: when a position repeats, pop the cycle
+    out = []
+    stack = []
+    seen = {}
+    for v in verts + [verts[0]]:
+        key = tuple(np.round(v, 12))
+        if key in seen:
+            k = seen[key]
+            loop = stack[k:] + [stack[k]]
+            if len(loop) >= 4:
+                out.append(np.asarray(loop))
+            for q in stack[k:]:
+                seen.pop(tuple(np.round(q, 12)), None)
+            stack = stack[:k]
+        seen[tuple(np.round(v, 12))] = len(stack)
+        stack.append(v)
+    return [l for l in out if abs(kernels.ring_area(l)) > 0]
+
+
+def make_valid_geom(g):
+    """SIMPLIFIED OGRGeometry::MakeValid: self-intersecting rings are
+    noded into simple sub-rings (piece decomposition, union-equal area);
+    already-valid geometries pass through; empty results → None."""
+    if is_valid(g):
+        return g
+    polys = _polygons_of(g)
+    if not polys:
+        return None
+    pieces = []
+    for rings in polys:
+        ext_pieces = node_ring(np.asarray(rings[0], dtype=float))
+        for hole in rings[1:]:
+            for ht_loop in node_ring(np.asarray(hole, dtype=float)):
+                for t in triangulate_ring(ht_loop):
+                    ext_pieces = [
+                        q for p in ext_pieces for q in convex_difference_pieces(p, t)
+                    ]
+        pieces.extend(ext_pieces)
+    if not pieces:
+        return None
+    return _pieces_to_geom(pieces)

@@ -209,3 +209,60 @@ class VectorPipeline:
             return g
 
         return self._with_geom(_geom_udf(_promote))
+
+    def buffer(self, distance: float, quadsegs: int = 30) -> "VectorPipeline":
+        """`gdal vector pipeline ... buffer` (gdalalg_vector_buffer.cpp):
+        per-feature round buffer via the ops.buffer machinery (point fast
+        path; other geometries via hull-of-vertex-buffers, the documented
+        v1 approximation in functions/st.py::st_buffer)."""
+
+        def _buf(g):
+            name, payload = g
+            if name == "Point":
+                return ops.buffer_point(payload[0], payload[1], distance, quadsegs)
+            c = ops._all_coords(g)
+            rings = [ops.buffer_point(x, y, distance, quadsegs)[1][0] for x, y in c]
+            merged = np.vstack(rings)
+            return ops.convex_hull(
+                ("MultiPoint", [("Point", (p[0], p[1])) for p in merged])
+            )
+
+        return self._with_geom(_geom_udf(_buf))
+
+    def make_valid(self) -> "VectorPipeline":
+        """`... make_valid` (gdalalg_vector_make_valid.cpp): geometries
+        failing ops.is_valid are repaired — self-intersecting rings are
+        re-noded via their triangulated piece decomposition (union-equal,
+        the engine's documented piece representation); degenerate
+        geometries become NULL and are dropped (SKIP_INVALID semantics)."""
+
+        out = self._with_geom(_geom_udf(ops.make_valid_geom))
+        return VectorPipeline(out.df.filter(F.col(self.geom).isNotNull()), self.geom)
+
+    def concat(self, other: "VectorPipeline") -> "VectorPipeline":
+        """`... concat` (gdalalg_vector_concat.cpp): layer union by field
+        name, missing fields NULL (OGRUnionLayer schema-union contract)."""
+        return VectorPipeline(
+            self.df.unionByName(other.df, allowMissingColumns=True), self.geom
+        )
+
+    def grid(self, meta, alg: str = "invdist", z_col: str = "z", **kw):
+        """`... grid` step: terminate the vector pipeline into a raster
+        tiles DataFrame (centroid x/y of each geometry + z attribute →
+        raster/grid.py). Returns the tiles DataFrame, not a pipeline."""
+        from gdal_spark.raster.grid import grid_points
+
+        @F.pandas_udf("x DOUBLE, y DOUBLE")
+        def _xy(g: pd.Series) -> pd.DataFrame:
+            xs, ys = [], []
+            for b in g:
+                gg = wkb.parse_wkb(bytes(b))
+                cx, cy = ops.centroid(gg)
+                xs.append(cx)
+                ys.append(cy)
+            return pd.DataFrame({"x": xs, "y": ys})
+
+        pts = self.df.select(
+            _xy(F.col(self.geom)).alias("p"), F.col(z_col).alias("z")
+        ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"), "z")
+        return grid_points(pts, meta, alg=alg, **kw)

@@ -62,7 +62,7 @@ def _parse_shape(stype: int, c: bytes):
     if base == 8:  # MultiPoint
         (n,) = struct.unpack("<i", c[36:40])
         pts = np.frombuffer(c[40 : 40 + 16 * n], dtype="<f8").reshape(n, 2)
-        return ("MultiPoint", [tuple(p) for p in pts])
+        return ("MultiPoint", [("Point", tuple(p)) for p in pts])
     if base in (3, 5):  # PolyLine / Polygon
         nparts, npts = struct.unpack("<ii", c[36:44])
         parts = np.frombuffer(c[44 : 44 + 4 * nparts], dtype="<i4")

@@ -145,3 +145,66 @@ def test_video_frame_sampling(spark):
         want = list(range(0, nf, 7))
         got = sorted(r.frame_idx for r in s if r.media_id == mid)
         assert got == want
+
+
+def test_pipeline_buffer_make_valid_concat(spark):
+    """New pipeline steps: buffer (area grows ~ pi*d^2 for a point),
+    make_valid (bowtie repaired to its piece decomposition), concat
+    (schema union by name)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gdal_spark.functions.st import st_area, st_isvalid
+    from gdal_spark.geometry import wkt as _wkt
+    from gdal_spark.operators.vector_pipeline import VectorPipeline
+
+    pt = spark.createDataFrame(
+        [(1, bytearray(_wkt.wkt_to_wkb("POINT (5 5)")))], "fid INT, geometry BINARY"
+    )
+    buf = VectorPipeline(pt).buffer(2.0).df
+    area = buf.select(st_area(F.col("geometry")).alias("a")).collect()[0].a
+    assert abs(area - np.pi * 4.0) < 0.05  # 120-gon approximation
+
+    bow = spark.createDataFrame(
+        [(1, bytearray(_wkt.wkt_to_wkb("POLYGON ((0 0,2 2,2 0,0 2,0 0))")))],
+        "fid INT, geometry BINARY",
+    )
+    fixed = VectorPipeline(bow).make_valid().df
+    r = fixed.select(
+        st_isvalid(F.col("geometry")).alias("v"),
+        st_area(F.col("geometry")).alias("a"),
+    ).collect()[0]
+    assert r.v
+    assert abs(r.a - 2.0) < 1e-9  # bowtie lobes: two area-1 triangles
+
+    other = spark.createDataFrame(
+        [(9, "x", bytearray(_wkt.wkt_to_wkb("POINT (0 0)")))],
+        "fid INT, tag STRING, geometry BINARY",
+    )
+    cat = VectorPipeline(pt).concat(VectorPipeline(other)).df
+    assert cat.count() == 2 and "tag" in cat.columns
+
+
+def test_pipeline_grid_step(spark):
+    import numpy as np
+
+    from gdal_spark.geometry import wkt as _wkt
+    from gdal_spark.operators.vector_pipeline import VectorPipeline
+    from gdal_spark.raster.model import RasterMeta, tiles_to_array
+    from gdal_spark.raster.grid import grid_points_np
+
+    rng = np.random.default_rng(4)
+    px = rng.uniform(0, 16, 40)
+    py = rng.uniform(0, 12, 40)
+    pz = rng.uniform(0, 9, 40)
+    rows = [
+        (float(z), bytearray(_wkt.wkt_to_wkb(f"POINT ({x} {y})")))
+        for x, y, z in zip(px, py, pz)
+    ]
+    df = spark.createDataFrame(rows, "z DOUBLE, geometry BINARY")
+    meta = RasterMeta(width=16, height=12, dtype="float64", block_w=8, block_h=6,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    tiles = VectorPipeline(df).grid(meta, alg="nearest", radius=6.0)
+    got = tiles_to_array(tiles, meta)
+    want = grid_points_np(px, py, pz, meta, alg="nearest", radius=6.0)
+    np.testing.assert_array_equal(got, want)
