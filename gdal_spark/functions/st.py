@@ -250,6 +250,21 @@ def st_geomfromwkb(g: pd.Series) -> pd.Series:
 st_geodesic_area = _unary_udf(ops.geodesic_area, DoubleType())
 st_geodesic_length = _unary_udf(ops.geodesic_length, DoubleType())
 
+# OGRGeometry::MakeValid (ogr_geometry.h:433) — simplified ring-noding
+# repair, see ops.make_valid_geom
+
+
+@F.pandas_udf(BinaryType())
+def st_makevalid(g: pd.Series) -> pd.Series:
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        res = ops.make_valid_geom(wkb.parse_wkb(bytes(b)))
+        out.append(None if res is None else wkt.geom_to_wkb(*res))
+    return pd.Series(out)
+
 
 _REGISTRY = {
     "st_intersects": st_intersects,
@@ -281,6 +296,7 @@ _REGISTRY = {
     "st_overlaps": st_overlaps,
     "st_asbinary": st_asbinary,
     "st_geomfromwkb": st_geomfromwkb,
+    "st_makevalid": st_makevalid,
     "st_geodesic_area": st_geodesic_area,
     "st_geodesic_length": st_geodesic_length,
 }
