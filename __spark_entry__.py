@@ -1247,6 +1247,39 @@ def _oracle_raster_calc() -> str:
 _lazy_oracle("raster_calc_checksum", _oracle_raster_calc)
 
 
+@_register("reclassify_checksum")
+def q_reclassify_checksum(spark, sf_dir):
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, synth_raster
+    from gdal_spark.raster.translate import reclassify
+
+    meta = _terrain_meta()
+    out = reclassify(
+        synth_raster(spark, meta), meta,
+        [(0.0, 250.0, 1.0), (250.0, 500.0, 2.0), (500.0, 800.0, 3.0)],
+        default=0.0,
+    )
+    out_meta = RasterMeta(width=meta.width, height=meta.height, dtype="float64",
+                          block_w=meta.block_w, block_h=meta.block_h, gt=meta.gt)
+    cs = checksum_df(out, out_meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_reclassify() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.translate import reclassify_np
+
+    full, _ = _terrain_full_np()
+    img = reclassify_np(
+        full, [(0.0, 250.0, 1.0), (250.0, 500.0, 2.0), (500.0, 800.0, 3.0)],
+        default=0.0,
+    )
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("reclassify_checksum", _oracle_reclassify)
+
+
 @_register("band_histogram")
 def q_band_histogram(spark, sf_dir):
     from gdal_spark.raster.model import byte_fixture, tiles_from_array, RasterMeta

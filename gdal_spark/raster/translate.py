@@ -135,3 +135,39 @@ def raster_calc(
             yield pd.DataFrame(rows, columns=["band", "block_y", "block_x", "h", "w", "data"])
 
     return joined.mapInPandas(compute, TILES_SCHEMA)
+
+
+def reclassify_np(arr: np.ndarray, mappings, default=None) -> np.ndarray:
+    """``gdal raster reclassify`` semantics (apps/gdalalg_raster_reclassify
+    .cpp; VRT reclassify pixel function): map [lo, hi) ranges to values;
+    first matching range wins; unmatched pixels keep their value, or take
+    ``default`` when given."""
+    a = arr.astype(np.float64)
+    out = a.copy() if default is None else np.full_like(a, float(default))
+    done = np.zeros(a.shape, dtype=bool)
+    for lo, hi, val in mappings:
+        m = ~done & (a >= lo) & (a < hi)
+        out[m] = val
+        done |= m
+    return out
+
+
+def reclassify(
+    tiles: DataFrame, meta: RasterMeta, mappings, default=None, band: int = 1
+) -> DataFrame:
+    """Distributed reclassify: pure per-tile NumPy, no halo, no shuffle."""
+    dtype = meta.dtype
+
+    def go(iterator):
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = np.frombuffer(r.data, dtype=dtype).reshape(r.h, r.w)
+                out = reclassify_np(arr, mappings, default)
+                rows.append((int(r.band), int(r.block_y), int(r.block_x),
+                             int(r.h), int(r.w), out.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["band", "block_y", "block_x", "h", "w", "data"]
+            )
+
+    return tiles.filter(F.col("band") == band).mapInPandas(go, TILES_SCHEMA)
