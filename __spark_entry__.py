@@ -794,6 +794,55 @@ _lazy_oracle("ann_lsh_bucketed", _oracle_ann_lsh)
 
 # -- 7. raster ---------------------------------------------------------------
 
+@_register("multimodal_image_features")
+def q_multimodal_image_features(spark, sf_dir):
+    """Image-column plumbing: synth media (deterministic payloads) →
+    Arrow-batched decode (gated deterministic fake — codecs absent in
+    this container) → per-image stats + 8-bin histogram."""
+    from gdal_spark.multimodal import image_features, synth_media
+
+    media = synth_media(spark, 64, kind="image")
+    return image_features(media).orderBy("media_id")
+
+
+def _oracle_multimodal() -> str:
+    """Python re-derivation: sha256 payloads, Spark-long-xxhash widths
+    (xxh64 of the little-endian 8 bytes, seed 42 — verified identity),
+    same deterministic decode."""
+    import hashlib
+    import struct
+
+    from gdal_spark.multimodal import fake_decode_image
+    from gdal_spark.text.xxh import xxh64
+
+    def xl(v: int) -> int:
+        u = xxh64(struct.pack("<q", v), 42)
+        s = u - (1 << 64) if u >= (1 << 63) else u
+        return s % 64  # pmod
+
+    rows = []
+    for i in range(64):
+        data = hashlib.sha256(f"image{i}".encode()).hexdigest().encode()
+        w = xl(i) + 32
+        h = xl(i + 1) + 32
+        img = fake_decode_image(data, w, h, 3)
+        hist = np.bincount(img.ravel() >> 5, minlength=8)
+        rows.append(
+            f"({i}, {int(np.floor(img.mean() * 1e6 + 0.5))}, "
+            f"{int(np.floor(img.std() * 1e6 + 0.5))}, "
+            f"[{', '.join(str(int(x)) for x in hist)}])"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(mean_e6 AS BIGINT) AS mean_e6, "
+        "CAST(std_e6 AS BIGINT) AS std_e6, hist FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(media_id, mean_e6, std_e6, hist) ORDER BY media_id"
+    )
+
+
+_lazy_oracle("multimodal_image_features", _oracle_multimodal)
+
+
 def _synth_meta():
     from gdal_spark.raster.model import RasterMeta
 
