@@ -798,11 +798,17 @@ _lazy_oracle("ann_lsh_bucketed", _oracle_ann_lsh)
 def q_multimodal_image_features(spark, sf_dir):
     """Image-column plumbing: synth media (deterministic payloads) →
     Arrow-batched decode (gated deterministic fake — codecs absent in
-    this container) → per-image stats + 8-bin histogram."""
+    this container) → per-image stats + 8-bin histogram.
+
+    The histogram is flattened to scalar columns h0..h7 for the gate
+    (the driver's canonicalizer cannot hash ARRAY columns); the library
+    function `image_features` still returns the ARRAY<LONG> form."""
     from gdal_spark.multimodal import image_features, synth_media
 
     media = synth_media(spark, 64, kind="image")
-    return image_features(media).orderBy("media_id")
+    feats = image_features(media)
+    hist_cols = [F.col("hist")[i].alias(f"h{i}") for i in range(8)]
+    return feats.select("media_id", "mean_e6", "std_e6", *hist_cols).orderBy("media_id")
 
 
 def _oracle_multimodal() -> str:
@@ -830,13 +836,16 @@ def _oracle_multimodal() -> str:
         rows.append(
             f"({i}, {int(np.floor(img.mean() * 1e6 + 0.5))}, "
             f"{int(np.floor(img.std() * 1e6 + 0.5))}, "
-            f"[{', '.join(str(int(x)) for x in hist)}])"
+            + ", ".join(str(int(x)) for x in hist)
+            + ")"
         )
+    hcols = ", ".join(f"CAST(h{i} AS BIGINT) AS h{i}" for i in range(8))
+    hnames = ", ".join(f"h{i}" for i in range(8))
     return (
         "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(mean_e6 AS BIGINT) AS mean_e6, "
-        "CAST(std_e6 AS BIGINT) AS std_e6, hist FROM (VALUES "
+        f"CAST(std_e6 AS BIGINT) AS std_e6, {hcols} FROM (VALUES "
         + ", ".join(rows)
-        + ") t(media_id, mean_e6, std_e6, hist) ORDER BY media_id"
+        + f") t(media_id, mean_e6, std_e6, {hnames}) ORDER BY media_id"
     )
 
 

@@ -286,9 +286,11 @@ def _compile_expr(node, resolve) -> Column:
     if kind == "like":
         a = _compile_expr(node[1], resolve)
         pat = node[2][1]
-        return a.like(pat) if node[3] is None else F.expr(
-            f"{a._jc.toString()} LIKE '{pat}' ESCAPE '{node[3][1]}'"
-        )
+        if node[3] is None:
+            return a.like(pat)
+        # 3-arg form handles ESCAPE without string-splicing into F.expr
+        # (robust to quotes in the pattern, no private _jc API).
+        return F.like(a, F.lit(pat), F.lit(node[3][1]))
     if kind == "ilike":
         a = _compile_expr(node[1], resolve)
         return a.ilike(node[2][1])

@@ -73,6 +73,22 @@ def test_where_in_between_like(spark, layers):
     ) or len(vals) > 0  # pattern sanity
 
 
+def test_like_escape_and_quotes(spark, layers):
+    """LIKE ... ESCAPE via the 3-arg F.like — no string-splicing, so a
+    pattern containing a single quote must not break the plan."""
+    import pandas as pd
+
+    t = spark.createDataFrame(
+        pd.DataFrame({"fid": [0, 1, 2, 3], "s": ["a_b", "axb", "o'k_1", "o'k21"]})
+    )
+    # '!' escapes '_' → literal underscore match only
+    got = _run(spark, {"t": t}, "select s from t where s like 'a!_b' escape '!'")
+    assert [r.s for r in got.collect()] == ["a_b"]
+    # quote inside the pattern ('' is the SQL escape for ')
+    got = _run(spark, {"t": t}, "select s from t where s like 'o''k!_%' escape '!'")
+    assert [r.s for r in got.collect()] == ["o'k_1"]
+
+
 def test_arithmetic_and_alias(spark, layers):
     got = _run(
         spark, layers,
