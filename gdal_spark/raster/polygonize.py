@@ -618,6 +618,96 @@ def _fmt(v: float) -> str:
     return f"{v:.15g}"
 
 
+def _turn_rank(d, o):
+    """Rank outgoing direction ``o`` relative to incoming ``d`` (both unit
+    axis vectors, array coords y-down): sharpest LEFT first. With every
+    segment keeping region-interior on its left, taking the sharpest left
+    at a pinch vertex keeps rings maximally separated (two diagonally
+    touching holes come out as two rings; a self-touching exterior splits
+    into exterior + touching hole, the OGC-valid form)."""
+    cross = d[0] * o[1] - d[1] * o[0]
+    dot = d[0] * o[0] + d[1] * o[1]
+    if cross > 0:
+        return 3  # left turn
+    if cross == 0 and dot > 0:
+        return 2  # straight
+    if cross < 0:
+        return 1  # right turn
+    return 0  # u-turn (degenerate; never produced by the segment rules)
+
+
+def _walk_rings(x0s, y0s, x1s, y1s):
+    """Assemble closed rings from directed unit segments.
+
+    Successors are stored as a LIST per start vertex (a pinch vertex —
+    two holes, or a hole and the exterior, touching diagonally inside a
+    4-connected region — has two outgoing segments; a plain dict would
+    drop one and crash the walk). At multi-valued vertices the outgoing
+    segment is chosen by sharpest-left-turn relative to the incoming
+    direction; arriving back at the start with outgoing segments still
+    present closes the ring only if closure itself is the left-turn
+    choice (otherwise the walk continues through the start vertex).
+
+    Returns rings with collinear vertices dropped, rotated to start at
+    the topmost-then-leftmost corner, and explicitly closed.
+    """
+    succ = {}
+    for x0, y0, x1, y1 in zip(x0s, y0s, x1s, y1s):
+        succ.setdefault((int(x0), int(y0)), []).append((int(x1), int(y1)))
+    rings = []
+    while succ:
+        start = min(succ.keys(), key=lambda p: (p[1], p[0]))
+        outs = succ[start]
+        outs.sort()
+        first = outs.pop(0)  # start is never a pinch (see proof in tests)
+        if not outs:
+            del succ[start]
+        close_dir = (first[0] - start[0], first[1] - start[1])
+        ring = [start]
+        prev, cur = start, first
+        while True:
+            if cur == start:
+                rem = succ.get(start)
+                if not rem:
+                    break
+                d = (cur[0] - prev[0], cur[1] - prev[1])
+                best = max(rem, key=lambda o: _turn_rank(d, (o[0] - cur[0], o[1] - cur[1])))
+                if _turn_rank(d, close_dir) >= _turn_rank(
+                    d, (best[0] - cur[0], best[1] - cur[1])
+                ):
+                    break  # closing is the sharpest-left choice
+                nxt = best
+                rem.remove(best)
+                if not rem:
+                    del succ[start]
+            else:
+                cands = succ[cur]
+                if len(cands) == 1:
+                    nxt = cands.pop()
+                    del succ[cur]
+                else:
+                    d = (cur[0] - prev[0], cur[1] - prev[1])
+                    nxt = max(
+                        cands,
+                        key=lambda o: _turn_rank(d, (o[0] - cur[0], o[1] - cur[1])),
+                    )
+                    cands.remove(nxt)
+            ring.append(cur)
+            prev, cur = cur, nxt
+        n = len(ring)
+        out = []
+        for i in range(n):
+            pp, p, pn = ring[i - 1], ring[i], ring[(i + 1) % n]
+            if (pp[0] == p[0] == pn[0]) or (pp[1] == p[1] == pn[1]):
+                continue
+            out.append(p)
+        k0 = min(range(len(out)), key=lambda i: (out[i][1], out[i][0]))
+        out = out[k0:] + out[:k0]
+        out.append(out[0])
+        rings.append(out)
+    return rings
+
+
 def polygonize_polygons(
     tiles: DataFrame,
     meta: RasterMeta,
@@ -688,32 +778,7 @@ def polygonize_polygons(
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         root = int(key[0])
         val = float(pdf["value"].iloc[0])
-        seg = {}
-        for x0, y0, x1, y1 in zip(pdf["x0"], pdf["y0"], pdf["x1"], pdf["y1"]):
-            seg[(int(x0), int(y0))] = (int(x1), int(y1))
-        rings = []
-        while seg:
-            start = min(seg.keys(), key=lambda p: (p[1], p[0]))
-            ring = [start]
-            cur = seg.pop(start)
-            while cur != start:
-                ring.append(cur)
-                cur = seg.pop(cur)
-            n = len(ring)
-            out = []
-            for i in range(n):
-                p_prev = ring[i - 1]
-                p = ring[i]
-                p_next = ring[(i + 1) % n]
-                if (p_prev[0] == p[0] == p_next[0]) or (
-                    p_prev[1] == p[1] == p_next[1]
-                ):
-                    continue
-                out.append(p)
-            k0 = min(range(len(out)), key=lambda i: (out[i][1], out[i][0]))
-            out = out[k0:] + out[:k0]
-            out.append(out[0])
-            rings.append(out)
+        rings = _walk_rings(pdf["x0"], pdf["y0"], pdf["x1"], pdf["y1"])
         parts = []
         for ring in rings:
             pts = ", ".join(
@@ -746,29 +811,7 @@ def polygonize_polygons_np(arr: np.ndarray, gt=None, exclude_values=()):
     out = []
     for root, pdf in segs.groupby("lab"):
         val = float(pdf["value"].iloc[0])
-        seg = {
-            (int(x0), int(y0)): (int(x1), int(y1))
-            for x0, y0, x1, y1 in zip(pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"])
-        }
-        rings = []
-        while seg:
-            start = min(seg.keys(), key=lambda p: (p[1], p[0]))
-            ring = [start]
-            cur = seg.pop(start)
-            while cur != start:
-                ring.append(cur)
-                cur = seg.pop(cur)
-            n = len(ring)
-            keep = []
-            for i in range(n):
-                pp, p, pn = ring[i - 1], ring[i], ring[(i + 1) % n]
-                if (pp[0] == p[0] == pn[0]) or (pp[1] == p[1] == pn[1]):
-                    continue
-                keep.append(p)
-            k0 = min(range(len(keep)), key=lambda i: (keep[i][1], keep[i][0]))
-            keep = keep[k0:] + keep[:k0]
-            keep.append(keep[0])
-            rings.append(keep)
+        rings = _walk_rings(pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"])
         parts = []
         for ring in rings:
             pts = ", ".join(
