@@ -1141,7 +1141,8 @@ def vincenty_distance(lon1, lat1, lon2, lat2, iters: int = 60):
         lam_new = L + (1 - C) * f * sin_alpha * (
             sigma + C * sin_sigma * (cos_2sm + C * cos_sigma * (-1 + 2 * cos_2sm**2))
         )
-        if np.all(np.abs(lam_new - lam) < 1e-12):
+        delta = np.abs(lam_new - lam)
+        if np.all(delta < 1e-12):
             lam = lam_new
             break
         lam = lam_new
@@ -1156,6 +1157,16 @@ def vincenty_distance(lon1, lat1, lon2, lat2, iters: int = 60):
         )
     )
     d = b * A * (sigma - dsig)
+    # documented fallback: near-antipodal pairs where the lambda
+    # iteration did not converge use haversine on the authalic sphere
+    unconverged = ~(delta < 1e-12)
+    if np.any(unconverged):
+        p1, p2 = np.deg2rad(lat1), np.deg2rad(lat2)
+        dphi = p2 - p1
+        dlam = np.deg2rad(lon2 - lon1)
+        h = np.sin(dphi / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlam / 2) ** 2
+        hav = 2.0 * R_AUTHALIC * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+        d = np.where(unconverged, hav, d)
     # degenerate same-point pairs
     same = (lon1 == lon2) & (lat1 == lat2)
     return np.where(same, 0.0, d)

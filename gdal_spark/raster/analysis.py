@@ -136,6 +136,75 @@ def contour_segments(
 # proximity
 # ---------------------------------------------------------------------------
 
+def _target_extractor(meta: RasterMeta, tv):
+    """mapInPandas body: global (tx, ty) coords of target-valued pixels."""
+    dtype = meta.dtype
+    bw, bh = meta.block_w, meta.block_h
+
+    def targets(iterator):
+        for pdf in iterator:
+            frames = []
+            for _, r in pdf.iterrows():
+                arr = np.frombuffer(r.data, dtype=dtype).reshape(r.h, r.w).astype(np.float64)
+                ys, xs = np.nonzero(np.isin(arr, tv))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "tx": int(r.block_x) * bw + xs.astype(np.int64),
+                            "ty": int(r.block_y) * bh + ys.astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+                columns=["tx", "ty"]
+            )
+
+    return targets
+
+
+def _proximity_broadcast_targets(src, meta: RasterMeta, tv, md: float) -> DataFrame:
+    """Unbounded-distance (max_dist=None) path: every tile may need every
+    target, so the target set is inherently global — distributing the
+    assignment would replicate |targets| × |blocks| rows (ADVICE r2).
+    Collect + broadcast of the target coords instead: O(|targets|)
+    driver memory, documented cost. Pass an explicit ``max_dist`` to get
+    the bounded, fully-distributed box-assignment path."""
+    tpts = src.mapInPandas(_target_extractor(meta, tv), "tx LONG, ty LONG")
+    pts = tpts.collect()
+    txs = np.array([r.tx for r in pts], dtype=np.float64)
+    tys = np.array([r.ty for r in pts], dtype=np.float64)
+    bcast = src.sparkSession.sparkContext.broadcast((txs, tys))
+    bw, bh = meta.block_w, meta.block_h
+    dtype = meta.dtype
+
+    def dist_block(iterator):
+        btx, bty = bcast.value
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                h, w = int(r.h), int(r.w)
+                gx = np.arange(w) + int(r.block_x) * bw
+                gy = np.arange(h) + int(r.block_y) * bh
+                GX, GY = np.meshgrid(gx, gy)
+                if len(btx):
+                    d2 = (
+                        (GX.ravel()[:, None] - btx[None, :]) ** 2
+                        + (GY.ravel()[:, None] - bty[None, :]) ** 2
+                    )
+                    d = np.sqrt(d2.min(axis=1)).reshape(h, w)
+                else:
+                    d = np.full((h, w), md)
+                d = np.minimum(d, md)
+                rows.append(
+                    (int(r.band), int(r.block_y), int(r.block_x), h, w, d.tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=["band", "block_y", "block_x", "h", "w", "data"]
+            )
+
+    return src.mapInPandas(dist_block, TILES_SCHEMA)
+
+
 def proximity(
     tiles: DataFrame,
     meta: RasterMeta,
@@ -157,32 +226,22 @@ def proximity(
     instead of the global target count — the property that lets dense
     targets on a 100-TB raster scale. Distances past max_dist clamp to
     max_dist (GDALComputeProximity maxdist contract).
+
+    ``max_dist=None`` (unbounded) cannot use the box assignment — it
+    would replicate every target to every tile — so it takes the
+    collect+broadcast path (:func:`_proximity_broadcast_targets`),
+    whose driver memory cost is O(|targets|).
     """
     dtype = meta.dtype
     bw, bh = meta.block_w, meta.block_h
     tv = sorted(float(v) for v in target_values)
-    md = float(max_dist) if max_dist is not None else float(np.hypot(meta.width, meta.height))
-
-    def targets(iterator):
-        for pdf in iterator:
-            frames = []
-            for _, r in pdf.iterrows():
-                arr = np.frombuffer(r.data, dtype=dtype).reshape(r.h, r.w).astype(np.float64)
-                ys, xs = np.nonzero(np.isin(arr, tv))
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "tx": int(r.block_x) * bw + xs.astype(np.int64),
-                            "ty": int(r.block_y) * bh + ys.astype(np.int64),
-                        }
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-                columns=["tx", "ty"]
-            )
-
     src = tiles.filter(F.col("band") == band)
-    tpts = src.mapInPandas(targets, "tx LONG, ty LONG")
+    if max_dist is None:
+        return _proximity_broadcast_targets(
+            src, meta, tv, float(np.hypot(meta.width, meta.height))
+        )
+    md = float(max_dist)
+    tpts = src.mapInPandas(_target_extractor(meta, tv), "tx LONG, ty LONG")
     # assign each target to the tile range its max_dist box overlaps
     mdc = int(np.ceil(md))
     bx0 = F.greatest(F.lit(0), F.floor((F.col("tx") - mdc) / bw)).cast("int")

@@ -144,7 +144,10 @@ def _read_dbf(path: str):
             if raw == "":
                 vals.append(None)
             elif ftype == "N" or ftype == "F":
-                vals.append(float(raw) if (fdec > 0 or "." in raw or "e" in raw.lower()) else int(raw))
+                # same rule as the output schema (fdec==0 → LONG): a
+                # stray "12.0" in an integer-declared field must still
+                # parse to int or createDataFrame rejects the row
+                vals.append(int(float(raw)) if fdec == 0 else float(raw))
             elif ftype == "L":
                 vals.append(raw in "YyTt")
             elif ftype == "D" and len(raw) == 8:

@@ -158,3 +158,40 @@ def test_pinch_vertex_holes_distributed(spark):
     ).collect()
     got = sorted((f.value, f.wkt) for f in feats)
     assert got == polygonize_polygons_np(a)
+
+
+def test_cc_roots_long_chain(spark):
+    """A region snaking through many tiles creates a long label-equivalence
+    chain; min-label propagation must converge in few rounds (log of the
+    chain length), fully distributed."""
+    from gdal_spark.raster.polygonize import _cc_roots
+    import pyspark.sql.functions as F
+
+    n = 200  # chain 0-1-2-...-199
+    eq = spark.range(n - 1).select(
+        F.col("id").alias("lab1"), (F.col("id") + 1).alias("lab2")
+    )
+    roots = _cc_roots(eq, max_rounds=12).collect()
+    assert len(roots) == n
+    assert all(r.root == 0 for r in roots)
+
+
+def test_polygonize_snake_region_many_tiles(spark):
+    """One region spanning every tile of a 16x16 raster in a serpentine:
+    the cross-tile merge must unify all tile-local labels."""
+    from gdal_spark.raster.polygonize import polygonize_regions
+
+    a = np.zeros((16, 16), dtype=np.uint8)
+    a[:] = 7  # background
+    # serpentine path of value 1 through all tiles
+    for r in range(0, 16, 2):
+        a[r, :] = 1
+        if (r // 2) % 2 == 0 and r + 1 < 16:
+            a[r + 1, 15] = 1
+        elif r + 1 < 16:
+            a[r + 1, 0] = 1
+    meta = RasterMeta(width=16, height=16, dtype="uint8", block_w=4, block_h=4)
+    regions = polygonize_regions(tiles_from_array(spark, a, meta), meta).collect()
+    ones = [r for r in regions if r.value == 1.0]
+    assert len(ones) == 1
+    assert ones[0].n_pixels == int((a == 1).sum())

@@ -44,6 +44,20 @@ def test_proximity_matches_oracle(spark):
     assert got[3, 4] == 0.0 and got[0, 0] == pytest.approx(5.0)
 
 
+def test_proximity_unbounded_broadcast_path(spark):
+    """max_dist=None takes the collect+broadcast path (ADVICE r2: the
+    box assignment would replicate every target to every tile)."""
+    meta = RasterMeta(width=24, height=18, dtype="uint8", block_w=8, block_h=6)
+    arr = np.zeros((18, 24), dtype=np.uint8)
+    arr[3, 4] = 7
+    arr[15, 20] = 7
+    tiles = tiles_from_array(spark, arr, meta)
+    out_meta = RasterMeta(width=24, height=18, dtype="float64", block_w=8, block_h=6)
+    got = tiles_to_array(analysis.proximity(tiles, meta, [7]), out_meta)
+    want = analysis.proximity_np(arr, [7])
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
 def test_fillnodata_matches_oracle(spark):
     meta = RasterMeta(width=24, height=16, dtype="float64", block_w=8, block_h=8)
     rng = np.random.default_rng(13)
@@ -103,6 +117,10 @@ def test_no_driver_collect_in_scale_paths():
     assert ".collect()" not in inspect.getsource(analysis.proximity)
     assert ".collect()" not in inspect.getsource(polygonize.sieve)
     assert ".collect()" not in inspect.getsource(polygonize.sieve_apply)
+    # r2 VERDICT wrong-2: cross-tile label merge must be distributed
+    assert ".collect()" not in inspect.getsource(polygonize._polygonize_internal)
+    assert ".collect()" not in inspect.getsource(polygonize._cc_roots)
+    assert "F.broadcast(map_df)" not in inspect.getsource(polygonize)
     src = inspect.getsource(warp.warp_affine)
     assert ".collect()" not in src
     assert "for by in range" not in src  # no driver-side block double loop
