@@ -1993,6 +1993,41 @@ def _oracle_warp_utm() -> str:
 _lazy_oracle("warp_utm_to_4326_checksum", _oracle_warp_utm)
 
 
+@_register("warp_26711_to_4326_checksum")
+def q_warp_26711_to_4326(spark, sf_dir):
+    """gdalwarp -s_srs EPSG:26711 -t_srs EPSG:4326 over the byte.tif
+    fixture grid — byte.tif's REAL SRS is NAD27 / UTM 11N
+    (autotest/gcore/tiff_read.py:847), so this exercises the r3
+    Clarke-1866 + geocentric-Helmert datum step (geometry/crs.py),
+    not just the projection math."""
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, byte_fixture, tiles_from_array
+    from gdal_spark.raster.warp import suggested_warp_output, warp_crs
+
+    arr, meta = byte_fixture()
+    mb = RasterMeta(width=20, height=20, dtype="uint8", block_w=8, block_h=8, gt=meta.gt)
+    dst = suggested_warp_output(mb, "EPSG:26711", "EPSG:4326", block_w=10, block_h=10)
+    out = warp_crs(tiles_from_array(spark, arr, mb), mb, dst,
+                   "EPSG:26711", "EPSG:4326", alg="near", init=0.0)
+    cs = checksum_df(out, dst)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_warp_26711() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.model import RasterMeta, byte_fixture
+    from gdal_spark.raster.warp import suggested_warp_output, warp_crs_np
+
+    arr, meta = byte_fixture()
+    mb = RasterMeta(width=20, height=20, dtype="uint8", block_w=8, block_h=8, gt=meta.gt)
+    dst = suggested_warp_output(mb, "EPSG:26711", "EPSG:4326", block_w=10, block_h=10)
+    img = warp_crs_np(arr, mb, dst, "EPSG:26711", "EPSG:4326", alg="near", init=0.0)
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("warp_26711_to_4326_checksum", _oracle_warp_26711)
+
+
 @_register("reproject_points_utm")
 def q_reproject_points_utm(spark, sf_dir):
     """Vector reprojection 4326 → UTM 33N over customer-derived points

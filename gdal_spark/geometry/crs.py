@@ -152,6 +152,95 @@ def webmerc_to_lonlat(x, y):
 
 
 # ---------------------------------------------------------------------------
+# datums: ellipsoids + Helmert shifts to WGS84
+# ---------------------------------------------------------------------------
+
+# name → (a, f)
+ELLIPSOIDS = {
+    "WGS84": (A_WGS84, F_WGS84),
+    # Clarke 1866 (a, b published; f derived) — NAD27's ellipsoid
+    "clrk66": (6378206.4, (6378206.4 - 6356583.8) / 6378206.4),
+    "GRS80": (6378137.0, 1.0 / 298.257222101),
+}
+
+# datum → (ellipsoid, towgs84 7-tuple: dx dy dz (m), rx ry rz (arcsec),
+# ds (ppm)) — position-vector convention, same as PROJ +towgs84.
+# NAD27 uses the EPSG:1173 CONUS 3-parameter values (the PROJ default).
+DATUMS = {
+    "WGS84": ("WGS84", (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+    "NAD27": ("clrk66", (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)),
+    "NAD83": ("GRS80", (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+}
+
+
+def geodetic_to_geocentric(lon_deg, lat_deg, a: float, f: float):
+    """(lon, lat) degrees on the ellipsoid (h=0) → ECEF (X, Y, Z) meters."""
+    lam = np.deg2rad(np.asarray(lon_deg, np.float64))
+    phi = np.deg2rad(np.asarray(lat_deg, np.float64))
+    e2 = f * (2.0 - f)
+    N = a / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+    X = N * np.cos(phi) * np.cos(lam)
+    Y = N * np.cos(phi) * np.sin(lam)
+    Z = N * (1.0 - e2) * np.sin(phi)
+    return X, Y, Z
+
+
+def geocentric_to_geodetic(X, Y, Z, a: float, f: float, iters: int = 8):
+    """ECEF → (lon, lat) degrees on the ellipsoid (height discarded —
+    the engine's transforms are 2D, matching the reference's default)."""
+    X = np.asarray(X, np.float64)
+    Y = np.asarray(Y, np.float64)
+    Z = np.asarray(Z, np.float64)
+    e2 = f * (2.0 - f)
+    lon = np.arctan2(Y, X)
+    p = np.hypot(X, Y)
+    phi = np.arctan2(Z, p * (1.0 - e2))
+    for _ in range(iters):
+        N = a / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+        phi = np.arctan2(Z + e2 * N * np.sin(phi), p)
+    return np.rad2deg(lon), np.rad2deg(phi)
+
+
+def helmert(X, Y, Z, params, inverse: bool = False):
+    """3/7-parameter Helmert transform (position-vector sign convention,
+    EPSG method 9606): small-angle rotation matrix + scale + translation.
+    ``inverse=True`` applies the reverse transform."""
+    dx, dy, dz, rx, ry, rz, ds = params
+    rx = np.deg2rad(rx / 3600.0)
+    ry = np.deg2rad(ry / 3600.0)
+    rz = np.deg2rad(rz / 3600.0)
+    m = 1.0 + ds * 1e-6
+    if not inverse:
+        X2 = m * (X - rz * Y + ry * Z) + dx
+        Y2 = m * (rz * X + Y - rx * Z) + dy
+        Z2 = m * (-ry * X + rx * Y + Z) + dz
+        return X2, Y2, Z2
+    # reverse: subtract translation, apply transposed rotation / scale
+    Xp = (X - dx) / m
+    Yp = (Y - dy) / m
+    Zp = (Z - dz) / m
+    X2 = Xp + rz * Yp - ry * Zp
+    Y2 = -rz * Xp + Yp + rx * Zp
+    Z2 = ry * Xp - rx * Yp + Zp
+    return X2, Y2, Z2
+
+
+def datum_shift(lon, lat, src_datum: str, dst_datum: str):
+    """Geographic coords between datums via geocentric Helmert pivot
+    (src → WGS84 → dst). Identity when the datums match."""
+    if src_datum == dst_datum:
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    se, sp = DATUMS[src_datum]
+    de, dp = DATUMS[dst_datum]
+    sa, sf = ELLIPSOIDS[se]
+    da, df = ELLIPSOIDS[de]
+    X, Y, Z = geodetic_to_geocentric(lon, lat, sa, sf)
+    X, Y, Z = helmert(X, Y, Z, sp)
+    X, Y, Z = helmert(X, Y, Z, dp, inverse=True)
+    return geocentric_to_geodetic(X, Y, Z, da, df)
+
+
+# ---------------------------------------------------------------------------
 # registry + transformer factory
 # ---------------------------------------------------------------------------
 
@@ -164,28 +253,64 @@ def _parse_epsg(code: str | int) -> int:
     return int(c)
 
 
-def _utm_tmerc(epsg: int) -> TMerc:
+def _utm_spec(epsg: int):
+    """(zone, south, datum) for every UTM family in the registry."""
     if 32601 <= epsg <= 32660:
-        zone, south = epsg - 32600, False
-    elif 32701 <= epsg <= 32760:
-        zone, south = epsg - 32700, True
-    else:
-        raise ValueError(f"not a WGS84 UTM code: EPSG:{epsg}")
+        return epsg - 32600, False, "WGS84"
+    if 32701 <= epsg <= 32760:
+        return epsg - 32700, True, "WGS84"
+    if 26701 <= epsg <= 26722:  # NAD27 / UTM 1N-22N (e.g. 26711: byte.tif)
+        return epsg - 26700, False, "NAD27"
+    if 26901 <= epsg <= 26923:  # NAD83 / UTM 1N-23N
+        return epsg - 26900, False, "NAD83"
+    return None
+
+
+def _utm_tmerc(epsg: int) -> TMerc:
+    spec = _utm_spec(epsg)
+    if spec is None:
+        raise ValueError(f"not a registry UTM code: EPSG:{epsg}")
+    zone, south, datum = spec
+    a, f = ELLIPSOIDS[DATUMS[datum][0]]
     return TMerc(
         lon0_deg=zone * 6.0 - 183.0,
         k0=0.9996,
         false_e=500000.0,
         false_n=10000000.0 if south else 0.0,
+        a=a,
+        f=f,
     )
 
 
 def _is_utm(epsg: int) -> bool:
-    return 32601 <= epsg <= 32660 or 32701 <= epsg <= 32760
+    return _utm_spec(epsg) is not None
+
+
+_GEOGRAPHIC = {4326: "WGS84", 4267: "NAD27", 4269: "NAD83"}
+
+_REGISTRY_DESC = (
+    "4326/4267/4269 geographic, 3857, UTM on WGS84 (326xx/327xx), "
+    "NAD27 (267xx), NAD83 (269xx)"
+)
+
+
+def crs_datum(epsg: int) -> str:
+    """Datum name of a registry CRS."""
+    if epsg in _GEOGRAPHIC:
+        return _GEOGRAPHIC[epsg]
+    if epsg == 3857:
+        return "WGS84"
+    spec = _utm_spec(epsg)
+    if spec is not None:
+        return spec[2]
+    raise NotImplementedError(
+        f"EPSG:{epsg} not in the supported registry ({_REGISTRY_DESC})"
+    )
 
 
 def _to_lonlat(epsg: int):
-    """fn(x, y) -> (lon, lat) for the supported CRS family."""
-    if epsg == 4326:
+    """fn(x, y) -> (lon, lat) in the CRS's OWN datum."""
+    if epsg in _GEOGRAPHIC:
         return lambda x, y: (np.asarray(x, np.float64), np.asarray(y, np.float64))
     if epsg == 3857:
         return webmerc_to_lonlat
@@ -193,12 +318,12 @@ def _to_lonlat(epsg: int):
         tm = _utm_tmerc(epsg)
         return tm.inverse
     raise NotImplementedError(
-        f"EPSG:{epsg} not in the supported registry (4326, 3857, WGS84 UTM)"
+        f"EPSG:{epsg} not in the supported registry ({_REGISTRY_DESC})"
     )
 
 
 def _from_lonlat(epsg: int):
-    if epsg == 4326:
+    if epsg in _GEOGRAPHIC:
         return lambda lon, lat: (np.asarray(lon, np.float64), np.asarray(lat, np.float64))
     if epsg == 3857:
         return lonlat_to_webmerc
@@ -206,24 +331,34 @@ def _from_lonlat(epsg: int):
         tm = _utm_tmerc(epsg)
         return tm.forward
     raise NotImplementedError(
-        f"EPSG:{epsg} not in the supported registry (4326, 3857, WGS84 UTM)"
+        f"EPSG:{epsg} not in the supported registry ({_REGISTRY_DESC})"
     )
 
 
 def transformer(src: str | int, dst: str | int):
     """Batched fn(xs, ys) -> (xs, ys) between two supported CRS.
 
-    Pivot through geographic (both endpoints are WGS84-datum here, so no
-    datum shift is involved — codes on other datums raise)."""
+    Pivot through geographic; when the endpoint datums differ (e.g.
+    NAD27 / UTM 11N → WGS84, the reference's byte.tif warp), the pivot
+    additionally runs the geocentric 3/7-parameter Helmert datum shift
+    (:func:`datum_shift`) — replacing the PROJ pipeline the reference
+    gets from ogrct.cpp for these datums."""
     s, d = _parse_epsg(src), _parse_epsg(dst)
     if s == d:
         return lambda x, y: (np.asarray(x, np.float64), np.asarray(y, np.float64))
     inv = _to_lonlat(s)
     fwd = _from_lonlat(d)
+    sdat, ddat = crs_datum(s), crs_datum(d)
 
-    def fn(x, y):
-        lon, lat = inv(x, y)
-        return fwd(lon, lat)
+    if sdat == ddat:
+        def fn(x, y):
+            lon, lat = inv(x, y)
+            return fwd(lon, lat)
+    else:
+        def fn(x, y):
+            lon, lat = inv(x, y)
+            lon, lat = datum_shift(lon, lat, sdat, ddat)
+            return fwd(lon, lat)
 
     return fn
 
@@ -232,10 +367,13 @@ def transformer(src: str | int, dst: str | int):
 # independent cross-check: Redfearn/Snyder UTM series (USGS PP 1395)
 # ---------------------------------------------------------------------------
 
-def utm_forward_redfearn(lon_deg, lat_deg, zone: int, south: bool = False):
+def utm_forward_redfearn(
+    lon_deg, lat_deg, zone: int, south: bool = False,
+    a: float = A_WGS84, f: float = F_WGS84,
+):
     """UTM forward by the classic Redfearn/Snyder expansion (eq. 8-9..8-17)
-    — shares NOTHING with the Krüger path above; test oracle only."""
-    a, f = A_WGS84, F_WGS84
+    — shares NOTHING with the Krüger path above; test oracle only.
+    Takes the ellipsoid so NAD27 (Clarke 1866) zones cross-check too."""
     e2 = f * (2 - f)
     ep2 = e2 / (1 - e2)
     k0 = 0.9996

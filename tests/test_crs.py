@@ -103,3 +103,81 @@ def test_warp_crs_distributed_matches_oracle(spark, alg):
                        alg=alg, init=0.0)
     np.testing.assert_array_equal(got, want)
     assert (got != 0).any()  # data actually landed
+
+
+# ---------------------------------------------------------------------------
+# NAD27 datum shift (r3): geocentric Helmert vs independent oracles
+# ---------------------------------------------------------------------------
+
+def _molodensky_abridged(lon_deg, lat_deg, src="NAD27", dst="WGS84"):
+    """Independent oracle: abridged Molodensky formulas (DMA TR 8350.2,
+    public) — shares nothing with the geocentric-Helmert path."""
+    sa, sf = crs.ELLIPSOIDS[crs.DATUMS[src][0]]
+    da, df = crs.ELLIPSOIDS[crs.DATUMS[dst][0]]
+    dx, dy, dz = crs.DATUMS[src][1][:3]  # src -> WGS84; dst assumed WGS84
+    assert dst == "WGS84" and crs.DATUMS[dst][1][:3] == (0.0, 0.0, 0.0)
+    lam = np.deg2rad(np.asarray(lon_deg, float))
+    phi = np.deg2rad(np.asarray(lat_deg, float))
+    e2 = sf * (2 - sf)
+    sp, cp = np.sin(phi), np.cos(phi)
+    sl, cl = np.sin(lam), np.cos(lam)
+    Rn = sa / np.sqrt(1 - e2 * sp**2)
+    Rm = sa * (1 - e2) / (1 - e2 * sp**2) ** 1.5
+    da_ = da - sa
+    df_ = df - sf
+    dphi = (
+        -dx * sp * cl - dy * sp * sl + dz * cp
+        + (sa * df_ + sf * da_) * np.sin(2 * phi)
+    ) / Rm
+    dlam = (-dx * sl + dy * cl) / (Rn * cp)
+    return np.rad2deg(lam + dlam), np.rad2deg(phi + dphi)
+
+
+def test_nad27_shift_matches_molodensky():
+    """Geocentric Helmert vs abridged Molodensky: <1 m everywhere in
+    CONUS (the two derivations are independent)."""
+    lons = np.array([-117.64117, -100.0, -75.0, -122.4])
+    lats = np.array([33.90234, 40.0, 42.0, 37.8])
+    glon, glat = crs.datum_shift(lons, lats, "NAD27", "WGS84")
+    mlon, mlat = _molodensky_abridged(lons, lats)
+    # 1 m ~ 9e-6 deg lat, ~1.1e-5 deg lon at these latitudes
+    assert np.all(np.abs(glat - mlat) < 1e-5)
+    assert np.all(np.abs(glon - mlon) < 1.2e-5)
+
+
+def test_nad27_utm_roundtrip_and_magnitude():
+    """EPSG:26711 (byte.tif's SRS) → 4326 → back closes to <1 mm; the
+    NAD27→WGS84 displacement in Southern California is the published
+    ~80 m west / ~200 m north."""
+    tf = crs.transformer(26711, 4326)
+    inv = crs.transformer(4326, 26711)
+    x = np.array([440720.0])
+    y = np.array([3751320.0])
+    lon, lat = tf(x, y)
+    bx, by = inv(lon, lat)
+    assert abs(bx[0] - x[0]) < 1e-3 and abs(by[0] - y[0]) < 1e-3
+    lon_w, lat_w = crs.transformer(32611, 4326)(x, y)
+    dx_m = (lon[0] - lon_w[0]) * 111320 * np.cos(np.deg2rad(lat[0]))
+    dy_m = (lat[0] - lat_w[0]) * 110574
+    assert -100 < dx_m < -60 and 150 < dy_m < 230
+
+
+def test_nad27_utm_forward_matches_redfearn_clrk66():
+    """TMerc on Clarke 1866 vs the independent Redfearn series on the
+    same ellipsoid: sub-millimeter agreement inside the zone."""
+    a, f = crs.ELLIPSOIDS["clrk66"]
+    tm = crs._utm_tmerc(26711)
+    lons = np.array([-118.2, -117.0, -116.2])
+    lats = np.array([32.5, 34.0, 36.8])
+    x1, y1 = tm.forward(lons, lats)
+    x2, y2 = crs.utm_forward_redfearn(lons, lats, zone=11, a=a, f=f)
+    assert np.all(np.abs(x1 - x2) < 1e-3)
+    assert np.all(np.abs(y1 - y2) < 1e-3)
+
+
+def test_nad83_is_wgs84_compatible():
+    """NAD83/GRS80 → WGS84 shift is centimeter-level (identical towgs84)."""
+    lon, lat = crs.datum_shift(
+        np.array([-100.0]), np.array([40.0]), "NAD83", "WGS84"
+    )
+    assert abs(lon[0] + 100.0) < 1e-7 and abs(lat[0] - 40.0) < 1e-7
