@@ -196,22 +196,17 @@ st_intersection = _pair_udf(lambda a, b: wkt.geom_to_wkb(*ops.intersection(a, b)
 
 @F.pandas_udf(BinaryType())
 def st_buffer(g: pd.Series, dist: pd.Series) -> pd.Series:
+    """OGRGeometry::Buffer (GEOS Buffer, ogr/ogr_geometry.h:568): true
+    round buffer for any geometry via the capsule-union set identity in
+    ops.buffer_geom (concavity and holes preserved; negative dist erodes
+    polygons). Replaces the r2 hull-of-vertex-buffers approximation."""
     out = []
     for b, d in zip(g, dist):
         if b is None:
             out.append(None)
             continue
-        name, payload = wkb.parse_wkb(bytes(b))
-        if name == "Point":
-            out.append(wkt.geom_to_wkb(*ops.buffer_point(payload[0], payload[1], float(d))))
-        else:
-            # v1: buffer of non-points via hull-of-vertex-buffers
-            c = ops._all_coords((name, payload))
-            rings = [
-                ops.buffer_point(x, y, float(d))[1][0] for x, y in c
-            ]
-            merged = np.vstack(rings)
-            out.append(wkt.geom_to_wkb(*ops.convex_hull(("MultiPoint", [("Point", (p[0], p[1])) for p in merged]))))
+        geom = wkb.parse_wkb(bytes(b))
+        out.append(wkt.geom_to_wkb(*ops.buffer_geom(geom, float(d))))
     return pd.Series(out)
 
 

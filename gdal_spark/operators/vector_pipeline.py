@@ -212,20 +212,11 @@ class VectorPipeline:
 
     def buffer(self, distance: float, quadsegs: int = 30) -> "VectorPipeline":
         """`gdal vector pipeline ... buffer` (gdalalg_vector_buffer.cpp):
-        per-feature round buffer via the ops.buffer machinery (point fast
-        path; other geometries via hull-of-vertex-buffers, the documented
-        v1 approximation in functions/st.py::st_buffer)."""
+        per-feature true round buffer via ops.buffer_geom (capsule-union
+        set identity; concavity/holes preserved, negative dist erodes)."""
 
         def _buf(g):
-            name, payload = g
-            if name == "Point":
-                return ops.buffer_point(payload[0], payload[1], distance, quadsegs)
-            c = ops._all_coords(g)
-            rings = [ops.buffer_point(x, y, distance, quadsegs)[1][0] for x, y in c]
-            merged = np.vstack(rings)
-            return ops.convex_hull(
-                ("MultiPoint", [("Point", (p[0], p[1])) for p in merged])
-            )
+            return ops.buffer_geom(g, distance, quadsegs)
 
         return self._with_geom(_geom_udf(_buf))
 

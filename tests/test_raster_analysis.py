@@ -165,3 +165,56 @@ def test_contour_interval_mode(spark):
     )
     want = sorted(contour_lines_np(full, levels))
     assert got == want
+
+
+def test_contour_chunked_stitch_small_chunks(spark):
+    """Force many chunks (chunk_px=4 over a 40x24 raster) so long lines
+    span multiple chunks and exercise the open-chain merge; output must
+    stay vertex-identical to the single-pass oracle (the maximal-chain
+    decomposition is choice-free, so chunking is invisible)."""
+    from gdal_spark.raster.analysis import contour_lines, contour_lines_np
+    from gdal_spark.raster.model import RasterMeta, synth_block_np, synth_raster
+
+    meta = RasterMeta(width=40, height=24, dtype="float32", block_w=8, block_h=8)
+    full = np.zeros((24, 40), dtype="float32")
+    for by in range(meta.blocks_y):
+        for bx in range(meta.blocks_x):
+            h, w = meta.block_shape(bx, by)
+            full[by*8:by*8+h, bx*8:bx*8+w] = synth_block_np(bx, by, h, w, meta)
+    levels = [200.0, 400.0, 600.0]
+    got = sorted(
+        (r.level, r.line_id, r.wkt)
+        for r in contour_lines(
+            synth_raster(spark, meta), meta, levels, chunk_px=4
+        ).collect()
+    )
+    want = sorted(contour_lines_np(full, levels))
+    assert got == want
+    # sanity: the fixture really produces multi-chunk lines
+    assert any(len(w) > 200 for _, _, w in got)
+
+
+def test_contour_closed_ring_across_chunks(spark):
+    """A radial bump yields a CLOSED contour ring crossing chunk borders
+    — the pure-cycle merge path (no break node anywhere on the ring)."""
+    from gdal_spark.raster.analysis import contour_lines, contour_lines_np
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array
+
+    h, w = 16, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = (100.0 - np.hypot(yy - 7.5, xx - 7.5) * 10.0).astype("float32")
+    meta = RasterMeta(width=w, height=h, dtype="float32", block_w=8, block_h=8)
+    tiles = tiles_from_array(spark, arr, meta)
+    got = sorted(
+        (r.level, r.line_id, r.wkt)
+        for r in contour_lines(tiles, meta, [50.0], chunk_px=5).collect()
+    )
+    want = sorted(contour_lines_np(arr, [50.0]))
+    assert got == want
+    # the level-50 contour is one closed ring
+    ring = [x for x in got if x[0] == 50.0]
+    assert len(ring) == 1
+    wkt = ring[0][2]
+    first = wkt[len("LINESTRING ("):].split(",")[0].strip()
+    last = wkt[:-1].split(",")[-1].strip()
+    assert first == last

@@ -281,6 +281,54 @@ def test_grid_linear_distributed_matches_numpy(spark):
     np.testing.assert_array_equal(got, want)
 
 
+def test_grid_linear_tiled_matches_numpy(spark):
+    """r3 tiled TIN: 4x4 blocks, margin_rings=1 so most blocks certify
+    from a partial neighborhood and some escalate — output must be
+    bit-identical to the global-TIN oracle (certification contract)."""
+    import pandas as pd
+
+    from gdal_spark.raster.grid import grid_linear, grid_linear_np
+    from gdal_spark.raster.model import RasterMeta, tiles_to_array
+
+    rng = np.random.default_rng(17)
+    px = rng.uniform(0, 32, 150)
+    py = rng.uniform(0, 24, 150)
+    pz = rng.uniform(0, 100, 150)
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=8, block_h=6,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    pts = spark.createDataFrame(pd.DataFrame({"x": px, "y": py, "z": pz}))
+    got = tiles_to_array(
+        grid_linear(pts, meta, radius=5.0, nodata=-1.0, mode="tiled", margin_rings=1),
+        meta,
+    )
+    want = grid_linear_np(px, py, pz, meta, radius=5.0, nodata=-1.0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_grid_linear_tiled_sparse_corner_cloud(spark):
+    """Points clustered in one corner: far blocks are outside the hull
+    (nearest-fallback with unlimited radius) and must escalate to the
+    exact final round; values still match the oracle exactly."""
+    import pandas as pd
+
+    from gdal_spark.raster.grid import grid_linear, grid_linear_np
+    from gdal_spark.raster.model import RasterMeta, tiles_to_array
+
+    rng = np.random.default_rng(23)
+    px = rng.uniform(0, 8, 25)
+    py = rng.uniform(0, 6, 25)
+    pz = rng.uniform(0, 50, 25)
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=8, block_h=6,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    pts = spark.createDataFrame(pd.DataFrame({"x": px, "y": py, "z": pz}))
+    got = tiles_to_array(
+        grid_linear(pts, meta, radius=-1.0, nodata=-1.0, mode="tiled", margin_rings=1),
+        meta,
+    )
+    want = grid_linear_np(px, py, pz, meta, radius=-1.0, nodata=-1.0)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_grid_metric_algs_match_numpy(spark):
     import pandas as pd
 
