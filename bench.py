@@ -46,6 +46,47 @@ def flagship_rows_sec(spark, n_pages: int) -> tuple[float, float]:
     return n_pages / el, el
 
 
+def ann_synth_secs(spark, dim: int, n: int = 10000, n_queries: int = 25) -> float:
+    """LSH ANN wall time on a deterministic synthetic clustered corpus of
+    ``n`` vectors at ``dim`` dims (16 planes, arrow scoring). Run at both
+    64 and 768 dims to evidence VERDICT r2 item 7: realistic-dim buckets
+    must stay within ~2× of toy-dim time (plan size O(1) in dim via the
+    Arrow bucket path, scoring vectorized)."""
+    import numpy as np
+
+    from gdal_spark.operators.similarity import lsh_bucketed_topk
+
+    n_centers = 256
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            out = []
+            for i in ids:
+                # per-id seeds → partition-invariant determinism
+                center = np.random.default_rng(int(i) % n_centers).standard_normal(dim)
+                noise = np.random.default_rng(n_centers + int(i)).standard_normal(dim)
+                out.append((center + 0.2 * noise).tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": out})
+
+    corpus = (
+        spark.range(0, n, 1, 32)
+        .mapInPandas(gen, "vec_id long, embedding array<double>")
+        .persist()
+    )
+    corpus.count()  # materialize: time the ANN operator, not the synth gen
+    queries = corpus.filter(F.col("vec_id") < n_queries).withColumnRenamed("vec_id", "qid")
+    try:
+        t0 = time.time()
+        res = lsh_bucketed_topk(
+            queries, corpus, k=5, n_planes=16, probe_flips=1, dim=dim, score="arrow"
+        )
+        res.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+    finally:
+        corpus.unpersist()
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -98,6 +139,9 @@ def main():
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.time() - t0, 3)
+
+    qtimes["ann_lsh_dim64_synth"] = round(ann_synth_secs(spark, 64), 3)
+    qtimes["ann_lsh_dim768_synth"] = round(ann_synth_secs(spark, 768), 3)
 
     # the sandbox VM time-shares its vCPUs with other guests: identical
     # runs vary several-fold, so report the best of N reps (the

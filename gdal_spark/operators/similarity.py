@@ -15,7 +15,9 @@ signs so each query only scans its bucket ∪ neighboring buckets.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -127,13 +129,68 @@ def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarr
     return rng.standard_normal((n_planes, dim))
 
 
-def _sign_bucket(vec_col: Column, planes: np.ndarray) -> Column:
-    """Pack sign(v·plane_j) bits into one BIGINT bucket id (column math)."""
+def _sign_bucket_jvm(vec_col: Column, planes: np.ndarray) -> Column:
+    """Pack sign(v·plane_j) bits into one BIGINT bucket id (column math).
+
+    Plan size is O(n_planes · dim) literal nodes — fine at gate scale
+    (dim 64), Catalyst-hostile at real embedding dims. `_sign_bucket`
+    dispatches to the Arrow form past a size threshold."""
     acc = F.lit(0).cast("long")
     for j, p in enumerate(planes):
         qv = F.array(*[F.lit(float(x)).cast("double") for x in p])
         acc = acc + F.when(_dot(vec_col, qv) > 0, F.lit(1 << j).cast("long")).otherwise(0)
     return acc
+
+
+def _sign_bucket_arrow(vec_col: Column, planes: np.ndarray) -> Column:
+    """Arrow-batched bucket id: one `sign(V @ P.T)` matmul per batch with
+    the plane matrix captured in the UDF closure (broadcast once per
+    executor via the task closure, NOT emitted as plan literals). At
+    dim=768 / 16 planes the JVM form would be ~25k literal nodes and no
+    whole-stage codegen (VERDICT r2 wrong-5); this stays O(1) plan size."""
+    P = planes.astype(np.float64)
+    weights = (1 << np.arange(len(P), dtype=np.uint64)).astype(np.float64)
+
+    @pandas_udf("long")
+    def bucket(v: pd.Series) -> pd.Series:
+        V = np.asarray(list(v), dtype=np.float64)
+        if V.size == 0:
+            return pd.Series([], dtype="int64")
+        bits = (V @ P.T) > 0.0
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return bucket(vec_col)
+
+
+# JVM plan-literal budget: n_planes*dim literals beyond this go to Arrow
+_BUCKET_ARROW_THRESHOLD = 4096
+
+
+def _sign_bucket(vec_col: Column, planes: np.ndarray) -> Column:
+    if planes.size > _BUCKET_ARROW_THRESHOLD:
+        return _sign_bucket_arrow(vec_col, planes)
+    return _sign_bucket_jvm(vec_col, planes)
+
+
+def cosine_sim_arrow(a: Column, b: Column) -> Column:
+    """Arrow-batched cosine for the perf path at real embedding dims: a
+    vectorized einsum per batch instead of the per-element JVM aggregate
+    fold (which evaluates a lambda per element per row). NOT oracle-grade:
+    numpy's pairwise summation order differs from the sequential fold, so
+    e6-rounded values can differ in the last unit near ties — use
+    `cosine_sim_col` wherever a DuckDB oracle re-derives the value."""
+
+    @pandas_udf("double")
+    def cos(u: pd.Series, w: pd.Series) -> pd.Series:
+        U = np.asarray(list(u), dtype=np.float64)
+        W = np.asarray(list(w), dtype=np.float64)
+        if U.size == 0:
+            return pd.Series([], dtype="float64")
+        num = np.einsum("ij,ij->i", U, W)
+        den = np.sqrt(np.einsum("ij,ij->i", U, U) * np.einsum("ij,ij->i", W, W))
+        return pd.Series(num / den)
+
+    return cos(a, b)
 
 
 def lsh_bucketed_topk(
@@ -147,6 +204,7 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     seed: int = 42,
+    score: str = "fold",
 ) -> DataFrame:
     """Approximate kNN: random-hyperplane buckets + multiprobe.
 
@@ -158,6 +216,10 @@ def lsh_bucketed_topk(
     ``dim`` is required: inferring it would need a driver-side action
     (``corpus.first()``) inside operator construction, which at scale
     triggers a full extra Spark job before the real one.
+
+    ``score``: "fold" (JVM sequential aggregate — bit-equal to the DuckDB
+    oracle) or "arrow" (vectorized einsum batch — the throughput path at
+    real embedding dims, last-unit e6 ties may differ).
     """
     if dim is None:
         raise ValueError(
@@ -183,11 +245,18 @@ def lsh_bucketed_topk(
     qp = q.select(
         "qid", "qv", F.explode(F.transform(probe_arr, lambda m: F.col("bucket0").bitwiseXOR(m))).alias("bucket")
     )
-    cos = cosine_sim_col(F.col("cv"), F.col("qv"))
+    sim_fn = cosine_sim_arrow if score == "arrow" else cosine_sim_col
+    cos = sim_fn(F.col("cv"), F.col("qv"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), F.col("id").asc())
     return (
-        qp.join(c, "bucket")
+        # queries side is small by contract — broadcast the probes so the
+        # corpus never shuffles on bucket
+        F.broadcast(qp).join(c, "bucket")
         .withColumn("cos_e6", F.floor(cos * 1_000_000 + F.lit(0.5)).cast("long"))
+        # project the vectors away BEFORE the rank window: Catalyst does
+        # not prune them through the Arrow scoring UDF, and at real dims
+        # they dominate the window exchange (dim doubles per side per row)
+        .select("qid", "id", "cos_e6")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "id", "cos_e6", "rank")
@@ -207,6 +276,7 @@ def cosine_dedup_pairs(
     probe_flips: int = 2,
     dim: int | None = None,
     seed: int = 42,
+    score: str = "fold",
 ) -> DataFrame:
     """All id1 < id2 pairs with cosine ≥ threshold — the embedding-space
     near-dup detector of a training-data pipeline.
@@ -245,7 +315,8 @@ def cosine_dedup_pairs(
         )
         bx = b.withColumnRenamed("b2", "bkt")
         cand = ax.join(bx, "bkt").filter(F.col("id1") < F.col("id2")).drop("bkt")
-    cos = cosine_sim_col(F.col("v1"), F.col("v2"))
+    sim_fn = cosine_sim_arrow if score == "arrow" else cosine_sim_col
+    cos = sim_fn(F.col("v1"), F.col("v2"))
     return (
         cand.withColumn("cos_e6", F.floor(cos * 1_000_000 + F.lit(0.5)).cast("long"))
         .filter(F.col("cos_e6") >= F.lit(int(threshold * 1_000_000)))

@@ -275,20 +275,28 @@ def simhash(
         df.select(F.col(id_col).alias("id"), F.explode(words_col(text_col)).alias("w"))
         .withColumn("h", F.xxhash64("w"))
     )
-    # sum(+1/-1) per bit, then reassemble the sign bit vector
-    sums = w.groupBy("id").agg(
+    # pre-aggregate to distinct (id, h) with counts: repeated words collapse
+    # BEFORE the 64 bit-test expressions run, and the map-side combine on
+    # the (id, h) shuffle key shrinks the exchange.
+    counted = w.groupBy("id", "h").agg(F.count(F.lit(1)).alias("cnt"))
+    # per-bit signed sum over tokens = 2 * popcount_i - n  (exact integers)
+    sums = counted.groupBy("id").agg(
+        F.sum("cnt").alias("n"),
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+                F.col("cnt") * F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+            ).alias(f"p{i}")
             for i in range(bits)
-        ]
+        ],
     )
     acc = F.lit(0).cast("long")
     for i in range(bits):
         # shiftleft instead of a literal: 1<<63 overflows a Java long literal
         bit = F.shiftleft(F.lit(1).cast("long"), i)
-        acc = acc + F.when(F.col(f"b{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
+        # sign positive ⇔ 2*p_i - n > 0
+        acc = acc + F.when(
+            F.col(f"p{i}") * 2 > F.col("n"), bit
+        ).otherwise(F.lit(0).cast("long"))
     return sums.select("id", acc.alias("simhash"))
 
 
@@ -315,23 +323,33 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     max_hamming agrees on ≥1 whole block), then exact hamming verify via
     ``bit_count(xor)``. Equi-join on (block, key) — bucketed, not
     all-pairs, so it scales with bucket occupancy."""
-    parts = []
+    keys = []
     for q, (off, width) in enumerate(simhash_blocks(max_hamming)):
         shifted = F.shiftrightunsigned(F.col("simhash"), off)
         # width == 64 only when max_hamming == 0 (single block = whole hash);
         # (1 << 64) - 1 would overflow a Java long literal
         key = shifted if width >= 64 else shifted.bitwiseAND(F.lit((1 << width) - 1))
-        parts.append(sim.select("id", F.col("simhash"), F.lit(q).alias("q"), key.alias("key")))
-    blocks = parts[0]
-    for p in parts[1:]:
-        blocks = blocks.unionByName(p)
-    l = blocks.select(F.col("id").alias("id1"), F.col("simhash").alias("h1"), "q", "key")
-    r = blocks.select(F.col("id").alias("id2"), F.col("simhash").alias("h2"), "q", "key")
+        keys.append(F.struct(F.lit(q).alias("q"), key.alias("key")))
+    # ONE pass over sim (posexplode of the block-key array), not a
+    # (max_hamming+1)-way union that re-evaluates the 64-aggregate simhash
+    # plan per branch; the alias self-join keeps both sides plan-identical
+    # so Spark reuses the shuffle exchange (simhash computes once, not 2×).
+    blocks = sim.select(
+        "id", "simhash", F.explode(F.array(*keys)).alias("qk")
+    ).select("id", "simhash", F.col("qk.q").alias("q"), F.col("qk.key").alias("key"))
+    l, r = blocks.alias("l"), blocks.alias("r")
     return (
-        l.join(r, ["q", "key"])
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        l.join(
+            r,
+            (F.col("l.q") == F.col("r.q"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id1"),
+            F.col("r.id").alias("id2"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id1", "id2", "hamming")
         .distinct()
     )
