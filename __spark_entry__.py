@@ -1897,6 +1897,38 @@ def _oracle_hillshade() -> str:
 _lazy_oracle("dem_hillshade_checksum", _oracle_hillshade)
 
 
+def _make_dem_gate(qname: str, op: str, kw: dict):
+    """Checksum gate for one DEM operator vs the single-node NumPy oracle."""
+
+    def q(spark, sf_dir):
+        from gdal_spark.raster.checksum import checksum_df
+        from gdal_spark.raster.dem import dem_op
+        from gdal_spark.raster.model import RasterMeta, synth_raster
+
+        meta = _terrain_meta()
+        out = dem_op(synth_raster(spark, meta), meta, op, **kw)
+        out_meta = RasterMeta(width=meta.width, height=meta.height, dtype="float64",
+                              block_w=meta.block_w, block_h=meta.block_h, gt=meta.gt)
+        cs = checksum_df(out, out_meta)
+        return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+    def oracle() -> str:
+        from gdal_spark.raster.checksum import checksum_np
+        from gdal_spark.raster.dem import dem_op_np
+
+        full, meta = _terrain_full_np()
+        return f"SELECT CAST({checksum_np(dem_op_np(full, meta, op, **kw))} AS BIGINT) AS checksum"
+
+    q.__doc__ = f"gdaldem hillshade variant {op!r} (apps/gdaldem_lib.cpp)"
+    _register(qname)(q)
+    _lazy_oracle(qname, oracle)
+
+
+_make_dem_gate("dem_hillshade_combined_checksum", "hillshade_combined", {"z": 2.0})
+_make_dem_gate("dem_hillshade_multidirectional_checksum", "hillshade_multidirectional", {"z": 2.0})
+_make_dem_gate("dem_hillshade_igor_checksum", "hillshade_igor", {"z": 2.0})
+
+
 def _raster_fixture_polys():
     return [
         "POLYGON ((1.2 1.7,14.8 2.3,10.1 11.4,2.5 9.9,1.2 1.7))",
@@ -2301,6 +2333,83 @@ def _oracle_grid_avgdist() -> str:
 
 
 _lazy_oracle("grid_avgdist_checksum", _oracle_grid_avgdist)
+
+
+@_register("grid_invdistnn_quadrant_checksum")
+def q_grid_invdistnn_quadrant_checksum(spark, sf_dir):
+    """GDALGridInverseDistanceToAPowerNearestNeighborPerQuadrant
+    (alg/gdalgrid.cpp:350-481): round-robin nearest-first per-quadrant
+    pick with nMin/MaxPointsPerQuadrant bounds, distributed over the
+    block-gather shuffle."""
+    import pandas as _pd
+
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.grid import grid_points
+    from gdal_spark.raster.model import RasterMeta
+
+    px, py, pz = _grid_fixture_points()
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    pts = spark.createDataFrame(_pd.DataFrame({"x": px, "y": py, "z": pz}))
+    out = grid_points(pts, meta, alg="invdistnn", radius=6.0, power=2.0,
+                      smoothing=0.2, min_points=1, max_points=12,
+                      min_ppq=1, max_ppq=4, nodata=-1.0)
+    cs = checksum_df(out, meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_grid_invdistnn_quadrant() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.grid import grid_points_np
+    from gdal_spark.raster.model import RasterMeta
+
+    px, py, pz = _grid_fixture_points()
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    img = grid_points_np(px, py, pz, meta, alg="invdistnn", radius=6.0, power=2.0,
+                         smoothing=0.2, min_points=1, max_points=12,
+                         min_ppq=1, max_ppq=4, nodata=-1.0)
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("grid_invdistnn_quadrant_checksum", _oracle_grid_invdistnn_quadrant)
+
+
+@_register("grid_average_quadrant_checksum")
+def q_grid_average_quadrant_checksum(spark, sf_dir):
+    """GDALGridMovingAveragePerQuadrant (alg/gdalgrid.cpp:735-851):
+    per-quadrant capped moving average (nMaxPoints honored, plain-r²
+    sort key)."""
+    import pandas as _pd
+
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.grid import grid_points
+    from gdal_spark.raster.model import RasterMeta
+
+    px, py, pz = _grid_fixture_points()
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    pts = spark.createDataFrame(_pd.DataFrame({"x": px, "y": py, "z": pz}))
+    out = grid_points(pts, meta, alg="average", radius=5.0, min_points=1,
+                      max_points=10, min_ppq=1, max_ppq=3, nodata=-1.0)
+    cs = checksum_df(out, meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_grid_average_quadrant() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.grid import grid_points_np
+    from gdal_spark.raster.model import RasterMeta
+
+    px, py, pz = _grid_fixture_points()
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    img = grid_points_np(px, py, pz, meta, alg="average", radius=5.0, min_points=1,
+                         max_points=10, min_ppq=1, max_ppq=3, nodata=-1.0)
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("grid_average_quadrant_checksum", _oracle_grid_average_quadrant)
 
 
 def _polygonize_fixture():

@@ -7,6 +7,8 @@ Exact formulas from the reference (apps/gdaldem_lib.cpp):
 - hillshade (:838-1016, unoptimized form in the comment block):
   cang = sin(alt)*cos(slope) + cos(alt)*sin(slope)*cos(az - pi/2 - aspect)
   output = 1.0 if cang*254 <= 0 else 1 + 254*cang
+- hillshade variants: -combined (:1133), -multidirectional (:1223,
+  USGS OF 92-422 4-azimuth blend), -igor (:933, altitude-free)
 - slope Horn (:1328): atan(sqrt(key)/8) in degrees, or 100*sqrt(key)/8
 - aspect (:1395): atan2(dy, -dx) degrees; azimuth convention (>90 →
   450-a else 90-a); flat → NaN; 360 → 0
@@ -54,6 +56,76 @@ def hillshade_np(pad, ewres, nsres, z=1.0, xscale=1.0, yscale=1.0, az=315.0, alt
         - (y * (np.cos(azr) * np.cos(altr) * 254.0) - x * (np.sin(azr) * np.cos(altr) * 254.0))
     ) / np.sqrt(1.0 + xx_plus_yy)
     return np.where(cang_mul_254 <= 0.0, 1.0, 1.0 + cang_mul_254)
+
+
+def hillshade_combined_np(pad, ewres, nsres, z=1.0, xscale=1.0, yscale=1.0,
+                          az=315.0, alt=45.0):
+    """``gdaldem hillshade -combined`` (GDALHillshadeCombinedAlg,
+    apps/gdaldem_lib.cpp:1133-1159): classic shade angle acos(cang)
+    modulated by slope — cang' = 1 − acos(cang)·atan(√slope)·4/π²."""
+    w = [p.astype(np.float64) for p in _win(pad)]
+    x = z * ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) / (8.0 * ewres * xscale)
+    y = z * ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) / (8.0 * nsres * yscale)
+    azr = np.radians(az)
+    altr = np.radians(alt)
+    slope = x * x + y * y  # == square_z * xx_plus_yy (z folded into x, y)
+    num = np.sin(altr) - (y * np.cos(azr) * np.cos(altr) - x * np.sin(azr) * np.cos(altr))
+    cang = np.arccos(np.clip(num / np.sqrt(1.0 + slope), -1.0, 1.0))
+    inv_sq_half_pi = 1.0 / ((np.pi * np.pi) / 4.0)
+    cang = 1.0 - cang * np.arctan(np.sqrt(slope)) * inv_sq_half_pi
+    return np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+
+
+def hillshade_multidirectional_np(pad, ewres, nsres, z=1.0, xscale=1.0,
+                                  yscale=1.0, alt=45.0):
+    """``gdaldem hillshade -multidirectional``
+    (GDALHillshadeMultiDirectionalAlg, apps/gdaldem_lib.cpp:1223-1283;
+    USGS OF 92-422): aspect-weighted blend of shades from azimuths
+    225/270/315/360 with weights sin²(aspect − az)."""
+    w = [p.astype(np.float64) for p in _win(pad)]
+    x = z * ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) / (8.0 * ewres * xscale)
+    y = z * ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) / (8.0 * nsres * yscale)
+    altr = np.radians(alt)
+    sin_alt_127 = 127.0 * np.sin(altr)
+    cos_alt_127 = 127.0 * np.cos(altr)
+    cos225_127 = np.cos(np.radians(225.0)) * cos_alt_127
+    xx = x * x
+    yy = y * y
+    xx_plus_yy = xx + yy
+    val225 = np.maximum(sin_alt_127 + (x - y) * cos225_127, 0.0)
+    val270 = np.maximum(sin_alt_127 - x * cos_alt_127, 0.0)
+    val315 = np.maximum(sin_alt_127 + (x + y) * cos225_127, 0.0)
+    val360 = np.maximum(sin_alt_127 - y * cos_alt_127, 0.0)
+    w225 = 0.5 * xx_plus_yy - x * y
+    w270 = xx
+    w315 = xx_plus_yy - w225
+    w360 = yy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cang_127 = (
+            (w225 * val225 + w270 * val270 + w315 * val315 + w360 * val360)
+            / xx_plus_yy
+        ) / np.sqrt(1.0 + xx_plus_yy)
+    # flat pixels: xx_plus_yy == 0 → 1 + 254·sin(alt) (:1249)
+    return np.where(xx_plus_yy == 0.0, 1.0 + 2.0 * sin_alt_127, 1.0 + cang_127)
+
+
+def hillshade_igor_np(pad, ewres, nsres, z=1.0, xscale=1.0, yscale=1.0, az=315.0):
+    """``gdaldem hillshade -igor`` (GDALHillshadeIgorAlg,
+    apps/gdaldem_lib.cpp:933-995): shadowness = 1 − slopeStrength ×
+    aspectStrength on a 0..255 scale; altitude is ignored."""
+    w = [p.astype(np.float64) for p in _win(pad)]
+    dx = ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) / (ewres * xscale)
+    dy = ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) / (nsres * yscale)
+    slope_deg = np.degrees(np.arctan(np.sqrt(dx * dx + dy * dy) * (z / 8.0)))
+    # aspect from the UNSCALED Horn sums (:966-975)
+    adx = (w[2] + w[5] + w[5] + w[8]) - (w[0] + w[3] + w[3] + w[6])
+    ady = (w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])
+    aspect = np.arctan2(ady, -adx)
+    target = 1.5 * np.pi - np.radians(az)
+    diff = np.abs(np.mod(aspect, 2.0 * np.pi) - np.mod(target, 2.0 * np.pi))
+    diff = np.where(diff > np.pi, 2.0 * np.pi - diff, diff)
+    shadowness = 1.0 - (slope_deg / 90.0) * (1.0 - diff / np.pi)
+    return 255.0 * shadowness
 
 
 def slope_np(pad, ewres, nsres, xscale=1.0, yscale=1.0, degrees=True):
@@ -139,6 +211,18 @@ _ALGS = {
     "hillshade": lambda pad, meta, kw: hillshade_np(
         pad, meta.gt[1], meta.gt[5], kw.get("z", 1.0), kw.get("xscale", 1.0),
         kw.get("yscale", 1.0), kw.get("az", 315.0), kw.get("alt", 45.0),
+    ),
+    "hillshade_combined": lambda pad, meta, kw: hillshade_combined_np(
+        pad, meta.gt[1], meta.gt[5], kw.get("z", 1.0), kw.get("xscale", 1.0),
+        kw.get("yscale", 1.0), kw.get("az", 315.0), kw.get("alt", 45.0),
+    ),
+    "hillshade_multidirectional": lambda pad, meta, kw: hillshade_multidirectional_np(
+        pad, meta.gt[1], meta.gt[5], kw.get("z", 1.0), kw.get("xscale", 1.0),
+        kw.get("yscale", 1.0), kw.get("alt", 45.0),
+    ),
+    "hillshade_igor": lambda pad, meta, kw: hillshade_igor_np(
+        pad, meta.gt[1], meta.gt[5], kw.get("z", 1.0), kw.get("xscale", 1.0),
+        kw.get("yscale", 1.0), kw.get("az", 315.0),
     ),
     "slope": lambda pad, meta, kw: slope_np(
         pad, meta.gt[1], meta.gt[5], kw.get("xscale", 1.0), kw.get("yscale", 1.0),

@@ -12,6 +12,11 @@ Implemented algorithms (GDALGridAlgorithm, alg/gdal_alg.h:402-416):
 - ``nearest``    — closest point's z (gdalgrid.cpp:853)
 - ``average``    — mean of z within radius (min_points honored)
 - ``count`` / ``min`` / ``max`` / ``range`` — data-metric variants
+- per-quadrant selection (``min_ppq`` / ``max_ppq`` > 0) for
+  invdist(nn)/average/min/max/range/count/avgdist — round-robin
+  nearest-first pick across the 4 node-relative quadrants with
+  per-quadrant min/max bounds (GDALGrid*PerQuadrant,
+  gdalgrid.cpp:343,735,1145,1598,1860,2124)
 
 Distribution: grid nodes live in raster blocks; each point is assigned
 to every block whose node set it can influence (envelope + radius →
@@ -39,9 +44,42 @@ def _node_coords(meta: RasterMeta, bx: int, by: int, h: int, w: int):
     return gx, gy
 
 
+def _quadrant_pick(iq, sort_key, max_points: int, max_ppq: int):
+    """Round-robin nearest-first per-quadrant selection
+    (GDALGrid*PerQuadrant, alg/gdalgrid.cpp:343,735,1145,2124): fetch the
+    nearest unused point of quadrant 0, then 1, 2, 3, then the next
+    nearest of quadrant 0, … skipping exhausted/at-cap quadrants, until
+    every quadrant is finished or ``max_points`` picks are made.
+
+    Returns (picked indices in pick order, per-quadrant counts).
+    Quadrant id = (dx>=0) | ((dy>=0)<<1) with d = point − node."""
+    qlists = []
+    for q in range(4):
+        qi = np.flatnonzero(iq == q)
+        qlists.append(qi[np.argsort(sort_key[qi], kind="stable")])
+    pos = [0, 0, 0, 0]
+    counts = [0, 0, 0, 0]
+    picked = []
+    finished = 0
+    q = 0
+    while finished != 15:
+        if pos[q] >= len(qlists[q]) or (max_ppq > 0 and counts[q] >= max_ppq):
+            finished |= 1 << q
+            q = (q + 1) % 4
+            continue
+        picked.append(qlists[q][pos[q]])
+        pos[q] += 1
+        counts[q] += 1
+        if max_points > 0 and len(picked) >= max_points:
+            break
+        q = (q + 1) % 4
+    return np.asarray(picked, dtype=np.int64), counts
+
+
 def _interp_block(
     gx, gy, px, py, pz, alg: str, radius: float, power: float,
     smoothing: float, min_points: int, max_points: int, nodata: float,
+    min_ppq: int = 0, max_ppq: int = 0,
 ):
     n_nodes = len(gx)
     out = np.full(n_nodes, nodata, dtype=np.float64)
@@ -54,11 +92,55 @@ def _interp_block(
     px, py, pz = px[order], py[order], pz[order]
     r2max = radius * radius
     s2 = smoothing * smoothing
+    # per-quadrant selection engages when either quadrant bound is set
+    # (GDALGridCreate dispatch, alg/gdalgrid.cpp:3117+); the reference has
+    # per-quadrant variants for invdist(nn)/average/min/max/range/count/
+    # avgdist but not nearest or avgdistpts
+    pq = (min_ppq > 0 or max_ppq > 0) and alg in (
+        "invdist", "invdistnn", "average", "min", "max", "range", "count", "avgdist"
+    )
     for i in range(n_nodes):
         dx = px - gx[i]
         dy = py - gy[i]
         d2 = dx * dx + dy * dy
         m = d2 <= r2max
+        if pq:
+            zs = pz[m]
+            # sort key: smoothed r² for the invdist family
+            # (gdalgrid.cpp:407), plain r² for the metrics (:1194)
+            keyv = d2[m] + (s2 if alg in ("invdist", "invdistnn") else 0.0)
+            if alg in ("invdist", "invdistnn"):
+                hit = keyv < 1e-13
+                if hit.any():
+                    out[i] = zs[np.argmax(hit)]
+                    continue
+            iq = (dx[m] >= 0).astype(np.int8) | ((dy[m] >= 0).astype(np.int8) << 1)
+            # nMaxPoints is honored by invdistnn (:451) and moving
+            # average (:826) but commented out for the data metrics
+            mp = max_points if alg in ("invdist", "invdistnn", "average") else 0
+            picked, counts = _quadrant_pick(iq, keyv, mp, max_ppq)
+            n = len(picked)
+            if (min_ppq > 0 and min(counts) < min_ppq) or n < max(min_points, 1):
+                continue
+            if alg in ("invdist", "invdistnn"):
+                wgt = 1.0 / np.power(keyv[picked], power / 2.0)
+                den = wgt.sum()
+                if den == 0.0:
+                    continue
+                out[i] = (wgt * zs[picked]).sum() / den
+            elif alg == "average":
+                out[i] = zs[picked].sum() / n
+            elif alg == "min":
+                out[i] = zs[picked].min()
+            elif alg == "max":
+                out[i] = zs[picked].max()
+            elif alg == "range":
+                out[i] = zs[picked].max() - zs[picked].min()
+            elif alg == "count":
+                out[i] = float(n)
+            else:  # avgdist
+                out[i] = np.sqrt(keyv[picked]).sum() / n
+            continue
         if alg == "nearest":
             if m.any():
                 out[i] = pz[np.argmin(np.where(m, d2, np.inf))]
@@ -121,6 +203,8 @@ def grid_points(
     min_points: int = 0,
     max_points: int = 0,
     nodata: float = 0.0,
+    min_ppq: int = 0,
+    max_ppq: int = 0,
     x_col: str = "x",
     y_col: str = "y",
     z_col: str = "z",
@@ -178,6 +262,7 @@ def grid_points(
             pdf.loc[m, "y"].to_numpy(np.float64),
             pdf.loc[m, "z"].to_numpy(np.float64),
             alg, radius, power, smoothing, min_points, max_points, nodata,
+            min_ppq, max_ppq,
         )
         return pd.DataFrame(
             [(band, by, bx, h, w, out.reshape(h, w).tobytes())],
@@ -190,6 +275,7 @@ def grid_points(
 def grid_points_np(
     px, py, pz, meta: RasterMeta, alg="invdist", radius=1.0, power=2.0,
     smoothing=0.0, min_points=0, max_points=0, nodata=0.0,
+    min_ppq=0, max_ppq=0,
 ) -> np.ndarray:
     """Single-node oracle with the identical per-node math."""
     h, w = meta.height, meta.width
@@ -199,6 +285,7 @@ def grid_points_np(
         gx, gy,
         np.asarray(px, np.float64), np.asarray(py, np.float64), np.asarray(pz, np.float64),
         alg, radius, power, smoothing, min_points, max_points, nodata,
+        min_ppq, max_ppq,
     )
     return out.reshape(h, w)
 

@@ -21,7 +21,9 @@ def terrain(spark):
     return tiles, full, meta
 
 
-@pytest.mark.parametrize("op", ["hillshade", "slope", "aspect", "tri", "tri_wilson", "tpi", "roughness"])
+@pytest.mark.parametrize("op", ["hillshade", "hillshade_combined",
+                                "hillshade_multidirectional", "hillshade_igor",
+                                "slope", "aspect", "tri", "tri_wilson", "tpi", "roughness"])
 def test_dem_ops_match_oracle(spark, terrain, op):
     tiles, full, meta = terrain
     got = tiles_to_array(
@@ -40,6 +42,21 @@ def test_hillshade_flat_is_sin_alt(spark):
     flat = np.zeros((8, 8), dtype=np.float32)
     out = dem.dem_op_np(flat, meta, "hillshade")
     assert out[4, 4] == pytest.approx(1.0 + 254.0 * np.sin(np.radians(45.0)))
+
+
+def test_hillshade_variant_flat_semantics():
+    """Flat terrain closed forms: multidirectional → 1 + 254·sin(alt)
+    (gdaldem_lib.cpp:1249 flat short-circuit); igor → 255 (no slope →
+    shadowness 1, altitude ignored); combined → 1 + 254·(1 − acos(sin
+    alt)·atan(0)·4/π²) = 1 + 254·1 = 255 at slope 0."""
+    meta = RasterMeta(width=8, height=8, dtype="float32", block_w=8, block_h=8)
+    flat = np.zeros((8, 8), dtype=np.float32)
+    md = dem.dem_op_np(flat, meta, "hillshade_multidirectional")
+    assert md[4, 4] == pytest.approx(1.0 + 254.0 * np.sin(np.radians(45.0)))
+    ig = dem.dem_op_np(flat, meta, "hillshade_igor")
+    assert ig[4, 4] == pytest.approx(255.0)
+    cb = dem.dem_op_np(flat, meta, "hillshade_combined")
+    assert cb[4, 4] == pytest.approx(255.0)
 
 
 def test_rasterize_square_pixel_center(spark):
@@ -190,6 +207,45 @@ def test_grid_matches_oracle(spark, alg):
     got = tiles_to_array(grid.grid_points(pts, meta, alg=alg, **kw), meta)
     want = grid.grid_points_np(px, py, pz, meta, alg=alg, **kw)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("alg", ["invdistnn", "average", "min", "max", "range", "count", "avgdist"])
+def test_grid_per_quadrant_matches_oracle(spark, alg):
+    """GDALGrid*PerQuadrant family (alg/gdalgrid.cpp:343,735,1145,1598,
+    1860,2124): distributed per-quadrant selection == single-node oracle."""
+    rng = np.random.default_rng(33)
+    n = 120
+    px = rng.uniform(0.0, 32.0, n)
+    py = rng.uniform(0.0, 24.0, n)
+    pz = rng.uniform(0.0, 100.0, n)
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    pts = spark.createDataFrame(pd.DataFrame({"x": px, "y": py, "z": pz}))
+    kw = dict(radius=5.0, power=2.0, smoothing=0.2, min_points=1, max_points=9,
+              min_ppq=1, max_ppq=3, nodata=-9.0)
+    got = tiles_to_array(grid.grid_points(pts, meta, alg=alg, **kw), meta)
+    want = grid.grid_points_np(px, py, pz, meta, alg=alg, **kw)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_grid_per_quadrant_min_ppq_semantics():
+    """A node with all in-radius points on one side has 2 empty quadrants →
+    min_ppq=1 must yield nodata there while the unconstrained run doesn't
+    (gdalgrid.cpp:462-467)."""
+    # 4 points surrounding node (6.5, 1.5) — one per quadrant there; the
+    # far-west node (0.5, ·) sees them all to its east (west quadrants empty)
+    px = np.array([6.0, 7.0, 6.0, 7.0])
+    py = np.array([1.0, 1.0, 1.8, 1.8])
+    pz = np.array([10.0, 20.0, 30.0, 40.0])
+    meta = RasterMeta(width=8, height=2, dtype="float64", block_w=8, block_h=2,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    free = grid.grid_points_np(px, py, pz, meta, alg="average", radius=10.0,
+                               min_points=1, nodata=-1.0)
+    bound = grid.grid_points_np(px, py, pz, meta, alg="average", radius=10.0,
+                                min_points=1, min_ppq=1, nodata=-1.0)
+    assert (free != -1.0).all()                # unconstrained: all reachable
+    assert (bound[:, 0] == -1.0).all()         # west column: empty W quadrants
+    assert bound[1, 6] == 25.0                 # node (6.5,1.5): all 4 filled
 
 
 def test_polygonize_connect8_diagonal_across_tiles(spark):
