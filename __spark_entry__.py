@@ -1496,6 +1496,117 @@ def q_layer_update_concave(spark, sf_dir):
     )
 
 
+@_register(
+    "layer_dissolve_area",
+    # hand-computed union areas: g1 = (0,0)-(2,2) ∪ (1,1)-(3,3) = 4+4-1 = 7;
+    # g2 = duplicate unit square (counted once) + disjoint 1×2 = 1+2 = 3
+    "SELECT * FROM (VALUES ('g1', CAST(7000000 AS BIGINT)), "
+    "('g2', CAST(3000000 AS BIGINT))) t(grp, area_e6) ORDER BY grp",
+)
+def q_layer_dissolve_area(spark, sf_dir):
+    """Aggregate union per key (GEOS CascadedUnion / OGRGeometry::
+    UnaryUnion, ogr/ogr_geometry.h:589) via the deterministic salted
+    two-level union tree in layer_algebra.dissolve."""
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.geometry import wkt as _wkt
+    from gdal_spark.operators.layer_algebra import dissolve
+
+    def rwkt(x0, y0, x1, y1):
+        return f"POLYGON (({x0} {y0},{x1} {y0},{x1} {y1},{x0} {y1},{x0} {y0}))"
+
+    rows = [
+        ("g1", bytearray(_wkt.wkt_to_wkb(rwkt(0, 0, 2, 2)))),
+        ("g1", bytearray(_wkt.wkt_to_wkb(rwkt(1, 1, 3, 3)))),
+        ("g2", bytearray(_wkt.wkt_to_wkb(rwkt(0, 0, 1, 1)))),
+        ("g2", bytearray(_wkt.wkt_to_wkb(rwkt(0, 0, 1, 1)))),
+        ("g2", bytearray(_wkt.wkt_to_wkb(rwkt(5, 5, 6, 7)))),
+    ]
+    df = spark.createDataFrame(rows, "grp STRING, geometry BINARY")
+    return (
+        dissolve(df, by=["grp"])
+        .select(
+            "grp",
+            F.floor(st_area("geometry") * 1_000_000 + F.lit(0.5)).cast("long").alias("area_e6"),
+        )
+        .orderBy("grp")
+    )
+
+
+@_register(
+    "st_unary_union_area",
+    # 3 rects: (0,0)-(2,2)=4 ∪ (1,1)-(3,3)=4 (overlap 1) ∪ (2,0)-(4,1)=2
+    # (edge contact only) → 9; the duplicate-rect input dissolves to 1
+    "SELECT * FROM (VALUES (1, CAST(9000000 AS BIGINT)), "
+    "(2, CAST(1000000 AS BIGINT))) t(gid, area_e6) ORDER BY gid",
+)
+def q_st_unary_union_area(spark, sf_dir):
+    """ST_UnaryUnion over MultiPolygon rows (OGRGeometry::UnaryUnion,
+    ogr/ogr_geometry.h:589): per-row dissolve of overlapping parts."""
+    from gdal_spark.functions.st import st_area, st_unaryunion
+    from gdal_spark.geometry import wkt as _wkt
+
+    mp1 = ("MULTIPOLYGON (((0 0,2 0,2 2,0 2,0 0)),((1 1,3 1,3 3,1 3,1 1)),"
+           "((2 0,4 0,4 1,2 1,2 0)))")
+    mp2 = "MULTIPOLYGON (((0 0,1 0,1 1,0 1,0 0)),((0 0,1 0,1 1,0 1,0 0)))"
+    rows = [(1, bytearray(_wkt.wkt_to_wkb(mp1))), (2, bytearray(_wkt.wkt_to_wkb(mp2)))]
+    df = spark.createDataFrame(rows, "gid INT, geometry BINARY")
+    return df.select(
+        "gid",
+        F.floor(st_area(st_unaryunion("geometry")) * 1_000_000 + F.lit(0.5))
+        .cast("long").alias("area_e6"),
+    ).orderBy("gid")
+
+
+@_register(
+    "st_delaunay_collection",
+    # 3×3 unit grid: 2n − h − 2 = 18 − 8 − 2 = 8 triangles tiling the
+    # 2×2 hull (area 4); 4 corner points → 2 triangles tiling area 1
+    "SELECT * FROM (VALUES (1, 8, CAST(4000000 AS BIGINT)), "
+    "(2, 2, CAST(1000000 AS BIGINT))) t(gid, n_tri, area_e6) ORDER BY gid",
+)
+def q_st_delaunay_collection(spark, sf_dir):
+    """ST_DelaunayTriangles (OGRGeometry::DelaunayTriangulation,
+    ogr/ogr_geometry.h:577): triangle count + tiled area per MultiPoint."""
+    from gdal_spark.functions.st import st_area, st_delaunaytriangles, st_numgeometries
+    from gdal_spark.geometry import wkt as _wkt
+
+    grid9 = "MULTIPOINT (" + ",".join(
+        f"{i % 3} {i // 3}" for i in range(9)
+    ) + ")"
+    sq4 = "MULTIPOINT (0 0,1 0,1 1,0 1)"
+    rows = [(1, bytearray(_wkt.wkt_to_wkb(grid9))), (2, bytearray(_wkt.wkt_to_wkb(sq4)))]
+    df = spark.createDataFrame(rows, "gid INT, geometry BINARY")
+
+    tri = df.select("gid", st_delaunaytriangles("geometry").alias("tris"))
+    return tri.select(
+        "gid",
+        st_numgeometries(F.col("tris")).alias("n_tri"),
+        F.floor(st_area(F.col("tris")) * 1_000_000 + F.lit(0.5)).cast("long").alias("area_e6"),
+    ).orderBy("gid")
+
+
+@_register(
+    "ogr_sql_geometry_cast",
+    # L-shape area 3; 2×2 square area 4
+    "SELECT * FROM (VALUES (1, CAST(3000000 AS BIGINT)), "
+    "(2, CAST(4000000 AS BIGINT))) t(id, area_e6) ORDER BY id",
+)
+def q_ogr_sql_geometry_cast(spark, sf_dir):
+    """OGR SQL CAST(x AS geometry) (swq_op_general.cpp:1837-1900,
+    VERDICT r2 missing-8): WKT string column → geometry in the compat
+    dialect, verified by downstream area."""
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.operators.ogr_sql import execute_sql
+
+    rows = [(1, _LSHAPE), (2, "POLYGON ((0 0,2 0,2 2,0 2,0 0))")]
+    df = spark.createDataFrame(rows, "id INT, wkt STRING")
+    out = execute_sql(spark, "SELECT id, CAST(wkt AS geometry) AS geom FROM t", {"t": df})
+    return out.select(
+        "id",
+        F.floor(st_area("geom") * 1_000_000 + F.lit(0.5)).cast("long").alias("area_e6"),
+    ).orderBy("id")
+
+
 @_register("st_buffer_concave_areas")
 def q_st_buffer_concave_areas(spark, sf_dir):
     """True round buffer (VERDICT r2 missing-2 closed): dilate + erode of

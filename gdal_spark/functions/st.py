@@ -219,6 +219,22 @@ st_difference = _pair_udf(
 st_symdifference = _pair_udf(
     lambda a, b: wkt.geom_to_wkb(*ops.sym_difference_geom(a, b)), BinaryType()
 )
+def _num_geometries(g) -> int:
+    """OGR_G_GetGeometryCount analogue: parts of a multi/collection
+    geometry (1 for atomic types, rings not counted)."""
+    name, payload = g
+    if name in ("MultiPoint", "MultiLineString", "MultiPolygon", "GeometryCollection"):
+        return len(payload)
+    return 1
+
+
+st_numgeometries = _unary_udf(_num_geometries, IntegerType())
+st_unaryunion = _unary_udf(
+    lambda g: wkt.geom_to_wkb(*ops.unary_union(g)), BinaryType()
+)
+st_delaunaytriangles = _unary_udf(
+    lambda g: wkt.geom_to_wkb(*ops.delaunay_triangles(g)), BinaryType()
+)
 st_isvalid = _unary_udf(ops.is_valid, BooleanType())
 st_issimple = _unary_udf(ops.is_simple, BooleanType())
 st_crosses = _pair_udf(ops.crosses, BooleanType())
@@ -261,6 +277,24 @@ def st_makevalid(g: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(BinaryType())
+def st_castgeometry(s: pd.Series) -> pd.Series:
+    """OGR SQL ``CAST(x AS geometry)`` (swq_op_general.cpp:1837-1900):
+    strings parse as WKT (createFromWkt); WKB binary passes through
+    validated; NULL stays NULL."""
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+        elif isinstance(v, str):
+            out.append(wkt.wkt_to_wkb(v))
+        else:
+            b = bytes(v)
+            wkb.parse_wkb(b)
+            out.append(b)
+    return pd.Series(out)
+
+
 _REGISTRY = {
     "st_intersects": st_intersects,
     "st_disjoint": st_disjoint,
@@ -285,6 +319,10 @@ _REGISTRY = {
     "st_union": st_union,
     "st_difference": st_difference,
     "st_symdifference": st_symdifference,
+    "st_castgeometry": st_castgeometry,
+    "st_numgeometries": st_numgeometries,
+    "st_unaryunion": st_unaryunion,
+    "st_delaunaytriangles": st_delaunaytriangles,
     "st_isvalid": st_isvalid,
     "st_issimple": st_issimple,
     "st_crosses": st_crosses,

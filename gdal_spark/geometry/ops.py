@@ -1006,6 +1006,51 @@ def union_geom(a, b):
     return _pieces_to_geom(out)
 
 
+def unary_union(g):
+    """OGRGeometry::UnaryUnion (GEOS UnaryUnion, ogr/ogr_geometry.h:589):
+    dissolve the polygonal parts of a Polygon/MultiPolygon/collection into
+    one area-exact disjoint piece set (incremental union: part₀ + part₁∖
+    part₀ + part₂∖(part₀∪part₁) + …, the same identity as union_geom).
+    Deterministic: parts fold in geometry order. Non-polygonal input
+    raises like the pairwise set ops."""
+    polys = _polygons_of(g)
+    if not polys:
+        raise NotImplementedError("unary_union requires polygonal input")
+    out = []
+    seen: list = []
+    for rings in polys:
+        rr = [np.asarray(r, dtype=float) for r in rings]
+        if not seen:
+            out.extend(polygon_pieces(rr))
+        else:
+            out.extend(difference_pieces(rr, seen))
+        seen.append(rr)
+    return _pieces_to_geom(out)
+
+
+def delaunay_triangles(g):
+    """OGRGeometry::DelaunayTriangulation (ogr/ogr_geometry.h:577, GEOS):
+    Delaunay triangulation of the geometry's unique vertices →
+    GeometryCollection of triangle Polygons in canonical (sorted-vertex)
+    order. Shares the Bowyer–Watson kernel with GGA_Linear
+    (raster/grid.py)."""
+    from gdal_spark.raster.grid import _canon_tris, delaunay_triangulate
+
+    pts = np.asarray(_all_coords(g), dtype=np.float64)
+    if len(pts):
+        pts = np.unique(pts.round(12), axis=0)  # lexsorted unique vertices
+    if len(pts) < 3:
+        return ("GeometryCollection", [])
+    tris = _canon_tris(pts[:, 0], pts[:, 1], delaunay_triangulate(pts[:, 0], pts[:, 1]))
+    out = []
+    for t in tris:
+        ring = pts[list(t)]
+        if kernels.ring_area(ring) < 0:  # emit CCW
+            ring = ring[::-1]
+        out.append(("Polygon", [np.vstack([ring, ring[:1]])]))
+    return ("GeometryCollection", out)
+
+
 def sym_difference_geom(a, b):
     """(A ∖ B) ∪ (B ∖ A) as disjoint pieces."""
     pa, pb = _polygons_of(a), _polygons_of(b)

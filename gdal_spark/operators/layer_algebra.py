@@ -273,3 +273,47 @@ def update(
     overwrites input where overlapping; method attrs only on its rows)."""
     in_only = _erase_pieces_df(input_df, method_df, geom, "input_", "method_")
     return in_only.unionByName(method_df, allowMissingColumns=True)
+
+
+def dissolve(
+    df: DataFrame, by: list | None = None, geom: str = "geometry",
+    n_partial: int = 8,
+) -> DataFrame:
+    """Aggregate union per key group — the engine's UnaryUnion/cascaded
+    union (GEOS ``CascadedUnion``; the reference reaches it via
+    ``OGRGeometry::UnaryUnion``, ogr/ogr_geometry.h:589, and the SQLite
+    dialect's ST_Union aggregate).
+
+    Distributed as a two-level union tree: rows are salted by
+    ``xxhash64(wkb) mod n_partial`` (DETERMINISTIC — the tree shape
+    depends on content, not shuffle order), partial unions run per
+    (key, salt) in parallel, then one bounded fold of ≤ n_partial partial
+    results per key. Each fold sorts its inputs by WKB bytes, so the
+    whole result is bit-reproducible. Per-key cost is the GEOS memory
+    contract; cross-key work is embarrassingly parallel."""
+    keys = list(by) if by else []
+    out_fields = [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys]
+    schema = ", ".join(out_fields + [f"`{geom}` binary"])
+
+    def _fold(pdf: pd.DataFrame) -> bytes | None:
+        blobs = sorted(bytes(b) for b in pdf[geom] if b is not None)
+        if not blobs:
+            return None
+        parts = [wkb.parse_wkb(b) for b in blobs]
+        return wkt.geom_to_wkb(*ops.unary_union(("GeometryCollection", parts)))
+
+    def partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row[geom] = [_fold(pdf)]
+        return pd.DataFrame(row)
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row[geom] = [_fold(pdf)]
+        return pd.DataFrame(row)
+
+    salted = df.select(*keys, geom).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(geom)), F.lit(int(n_partial)))
+    )
+    partials = salted.groupBy(*(keys + ["__salt"])).applyInPandas(partial, schema)
+    return partials.groupBy(*keys).applyInPandas(final, schema)

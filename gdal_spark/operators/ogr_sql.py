@@ -298,6 +298,12 @@ def _compile_expr(node, resolve) -> Column:
         return _compile_expr(node[1], resolve).isNull()
     if kind == "cast":
         inner = _compile_expr(node[1], resolve)
+        if node[2] == "GEOMETRY":
+            # swq_op_general.cpp:1837-1900 — WKT string → geometry,
+            # geometry → clone; travels as WKB binary here
+            from gdal_spark.functions.st import st_castgeometry
+
+            return st_castgeometry(inner)
         typ = {
             "BOOLEAN": "boolean", "CHARACTER": "string", "INTEGER": "int",
             "SMALLINT": "smallint", "BIGINT": "bigint", "FLOAT": "double",

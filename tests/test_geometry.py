@@ -277,3 +277,47 @@ def test_overlay_properties_with_holes_random():
         diff_ab = sum(kernels.ring_area(p) for p in pieces)
         scale = max(area_a, 1.0)
         assert abs(inter + diff_ab - area_a) < 1e-7 * scale, trial
+
+
+def test_unary_union_dissolves_overlaps_and_duplicates():
+    import numpy as np
+    from gdal_spark.geometry import ops
+
+    def rect(x0, y0, x1, y1):
+        return ("Polygon", [np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)])
+
+    # 4 + 4 − 1 overlap + 2 edge-touching = 9
+    g = ("GeometryCollection", [rect(0, 0, 2, 2), rect(1, 1, 3, 3), rect(2, 0, 4, 1)])
+    assert abs(ops.area(ops.unary_union(g)) - 9.0) < 1e-12
+    # exact duplicate counted once
+    g2 = ("MultiPolygon", [rect(0, 0, 1, 1), rect(0, 0, 1, 1)])
+    assert abs(ops.area(ops.unary_union(g2)) - 1.0) < 1e-12
+    # fold vs random permutation: area invariant
+    rng = np.random.default_rng(3)
+    parts = [rect(*sorted(rng.uniform(0, 5, 2)), *sorted(rng.uniform(0, 5, 2)))
+             for _ in range(6)]
+    parts = [("Polygon", [np.array(
+        [[a, c], [b, c], [b, d], [a, d], [a, c]], float)])
+        for (a, c), (b, d) in
+        [((min(p[1][0][:, 0]), min(p[1][0][:, 1])),
+          (max(p[1][0][:, 0]), max(p[1][0][:, 1]))) for p in parts]]
+    a1 = ops.area(ops.unary_union(("GeometryCollection", parts)))
+    a2 = ops.area(ops.unary_union(("GeometryCollection", parts[::-1])))
+    assert abs(a1 - a2) < 1e-9 * max(a1, 1.0)
+
+
+def test_delaunay_triangles_tile_hull():
+    import numpy as np
+    from gdal_spark.geometry import ops
+
+    pts = [("Point", np.array([float(i % 4), float(i // 4)])) for i in range(16)]
+    name, tris = ops.delaunay_triangles(("GeometryCollection", pts))
+    assert name == "GeometryCollection"
+    # 2n − h − 2 triangles tiling the hull: 32 − 12 − 2 = 18, area 9
+    assert len(tris) == 18
+    assert abs(sum(ops.area(t) for t in tris) - 9.0) < 1e-12
+    # triangles are CCW and disjoint-interior (areas all positive)
+    assert all(ops.area(t) > 0 for t in tris)
+    # degenerate inputs
+    assert ops.delaunay_triangles(("Point", np.array([0.0, 0.0])))[1] == []

@@ -123,3 +123,31 @@ def test_erase_golden(spark, AB):
     rows2 = LA.erase(A, empty).collect()
     assert len(rows2) == 2
     assert _areas(rows2) == [2.0, 2.0]
+
+
+def test_dissolve_keyed_and_global(spark):
+    """Two-level salted union tree == analytic union areas; no-key form
+    dissolves the whole layer."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.geometry import wkt as _wkt
+    from gdal_spark.operators.layer_algebra import dissolve
+
+    def r(x0, y0, x1, y1):
+        return bytearray(_wkt.wkt_to_wkb(
+            f"POLYGON (({x0} {y0},{x1} {y0},{x1} {y1},{x0} {y1},{x0} {y0}))"))
+
+    df = spark.createDataFrame(
+        [("a", r(0, 0, 2, 2)), ("a", r(1, 1, 3, 3)), ("b", r(0, 0, 1, 1)),
+         ("b", r(0, 0, 1, 1)), ("b", r(5, 5, 6, 7))],
+        "grp STRING, geometry BINARY",
+    )
+    got = {
+        row.grp: row.area
+        for row in dissolve(df, by=["grp"]).select(
+            "grp", st_area("geometry").alias("area")).collect()
+    }
+    assert abs(got["a"] - 7.0) < 1e-9 and abs(got["b"] - 3.0) < 1e-9
+    tot = dissolve(df).select(st_area("geometry").alias("area")).collect()
+    assert len(tot) == 1 and abs(tot[0].area - 9.0) < 1e-9

@@ -196,3 +196,20 @@ def test_three_valued_null(spark):
     assert [r.k for r in got.collect()] == [3]  # NULL comparison → filtered
     got = execute_sql(spark, "select k from t where v is null", {"t": t}, {"t": "k"})
     assert [r.k for r in got.collect()] == [2]
+
+
+def test_cast_as_geometry(spark):
+    """CAST(wkt AS geometry) (swq_op_general.cpp:1837): parses WKT to a
+    geometry usable by ST functions downstream."""
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.operators.ogr_sql import execute_sql
+
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0,2 0,2 2,0 2,0 0))"), (2, None)],
+        "id INT, wkt STRING",
+    )
+    out = execute_sql(
+        spark, "SELECT id, CAST(wkt AS geometry) AS geom FROM t", {"t": df}
+    ).select("id", st_area("geom").alias("area")).orderBy("id").collect()
+    assert out[0].area == 4.0
+    assert out[1].area is None
