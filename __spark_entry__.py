@@ -1891,6 +1891,23 @@ def q_shapefile_poly_read(spark, sf_dir):
     ).orderBy("eas_id")
 
 
+@_register("gpkg_poly_read")
+def q_gpkg_poly_read(spark, sf_dir):
+    """Read the reference's poly_golden.gpkg with the native GeoPackage
+    reader (OGC spec §2.1.3 blob header + stdlib sqlite3); shoelace
+    areas must reproduce the same POLY goldens as the .shp fixture
+    (autotest/ogr/data/gpkg/poly_golden.gpkg)."""
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.sources.gpkg import read_gpkg
+
+    df = read_gpkg(spark, "/root/reference/autotest/ogr/data/gpkg/poly_golden.gpkg")
+    return df.select(
+        F.col("EAS_ID").cast("long").alias("eas_id"),
+        "PRFEDEA",
+        F.floor(st_area(F.col("geometry")) + F.lit(0.5)).cast("long").alias("area_m"),
+    ).orderBy("eas_id")
+
+
 def _oracle_shapefile_poly() -> str:
     """Oracle = the attribute table extracted to fixtures_poly.POLY_ATTRS
     in round 1 (independent of the binary parser)."""
@@ -1911,6 +1928,7 @@ def _oracle_shapefile_poly() -> str:
 
 
 _lazy_oracle("shapefile_poly_read", _oracle_shapefile_poly)
+_lazy_oracle("gpkg_poly_read", _oracle_shapefile_poly)
 
 
 _GEOD_POLYS = [
