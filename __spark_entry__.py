@@ -1607,6 +1607,29 @@ def q_ogr_sql_geometry_cast(spark, sf_dir):
     ).orderBy("id")
 
 
+@_register(
+    "st_equals_tessellation",
+    "SELECT * FROM (VALUES (1, true), (2, true), (3, false)) t(id, eq) ORDER BY id",
+)
+def q_st_equals_tessellation(spark, sf_dir):
+    """ST_Equals upgraded to straight-run-tessellation invariance
+    (collinear interior vertices normalized away; VERDICT r2 missing-4
+    partially closed — piece-decomposition equality still structural)."""
+    from gdal_spark.functions.st import st_equals
+    from gdal_spark.geometry import wkt as _wkt
+
+    rows = [
+        (1, "POLYGON ((0 0,2 0,2 2,0 2,0 0))", "POLYGON ((2 0,2 2,0 2,0 0,1 0,2 0))"),
+        (2, "LINESTRING (0 0,1 0,2 0)", "LINESTRING (2 0,0 0)"),
+        (3, "LINESTRING (0 0,1 0,2 0)", "LINESTRING (0 0,3 0,2 0)"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(_wkt.wkt_to_wkb(a)), bytearray(_wkt.wkt_to_wkb(b))) for i, a, b in rows],
+        "id INT, a BINARY, b BINARY",
+    )
+    return df.select("id", st_equals("a", "b").alias("eq")).orderBy("id")
+
+
 @_register("st_buffer_concave_areas")
 def q_st_buffer_concave_areas(spark, sf_dir):
     """True round buffer (VERDICT r2 missing-2 closed): dilate + erode of

@@ -70,18 +70,46 @@ st_within = _pair_udf(ops.within, BooleanType())
 st_touches = _pair_udf(ops.touches, BooleanType())
 
 
+def _drop_collinear(a: np.ndarray, closed: bool) -> np.ndarray:
+    """Vertex-placement-invariant form: drop repeated vertices and
+    interior vertices that lie strictly BETWEEN their neighbors on a
+    straight run (cross == 0 and dot > 0 — spikes/reversals are kept, as
+    they change the traced set). This is what makes ``_equals``
+    insensitive to how a straight edge was tessellated."""
+    keep = [0]
+    for i in range(1, len(a)):
+        if not np.array_equal(a[i], a[keep[-1]]):
+            keep.append(i)
+    a = a[keep]
+    if closed and len(a) > 1 and np.array_equal(a[0], a[-1]):
+        a = a[:-1]
+    n = len(a)
+    if n < 3:
+        return a
+    prev = np.roll(a, 1, axis=0)
+    nxt = np.roll(a, -1, axis=0)
+    cross = (a[:, 0] - prev[:, 0]) * (nxt[:, 1] - prev[:, 1]) - (
+        a[:, 1] - prev[:, 1]
+    ) * (nxt[:, 0] - prev[:, 0])
+    dot = ((a - prev) * (nxt - a)).sum(axis=1)
+    drop = (cross == 0) & (dot > 0)
+    if not closed:
+        drop[0] = drop[-1] = False  # endpoints always survive on open lines
+    return a[~drop]
+
+
 def _norm_open_seq(c):
-    """Canonical form of an open coordinate sequence: the lexicographically
-    smaller of (forward, reversed) rounded tuples."""
-    t = tuple(map(tuple, np.round(np.asarray(c, dtype=np.float64), 12)))
+    """Canonical form of an open coordinate sequence: collinear-simplified,
+    then the lexicographically smaller of (forward, reversed) tuples."""
+    a = _drop_collinear(np.round(np.asarray(c, dtype=np.float64), 12), closed=False)
+    t = tuple(map(tuple, a))
     return min(t, tuple(reversed(t)))
 
 
 def _norm_ring(c):
-    """Canonical closed ring: all rotations of both orientations, min."""
-    a = np.round(np.asarray(c, dtype=np.float64), 12)
-    if len(a) > 1 and tuple(a[0]) == tuple(a[-1]):
-        a = a[:-1]
+    """Canonical closed ring: collinear-simplified, then min over all
+    rotations of both orientations."""
+    a = _drop_collinear(np.round(np.asarray(c, dtype=np.float64), 12), closed=True)
     t = tuple(map(tuple, a))
     cands = []
     for seq in (t, tuple(reversed(t))):
@@ -124,10 +152,11 @@ def _norm_geom(g):
 
 
 def _equals(a, b) -> bool:
-    """Structural equality up to part order, ring rotation, and
-    orientation reversal (SIMPLIFIED vs OGR's topological Equals: two
-    shapes tracing the same point set with different vertex placement —
-    e.g. an extra collinear vertex — compare unequal here)."""
+    """Equality up to part order, ring rotation, orientation reversal,
+    AND straight-run tessellation (collinear interior vertices are
+    normalized away — the r2-documented deviation). Remaining SIMPLIFIED
+    vs OGR's topological Equals: the same region decomposed into
+    different polygon pieces still compares unequal."""
     return _norm_geom(a) == _norm_geom(b)
 
 

@@ -7,8 +7,12 @@ little-endian 2-D geometries are produced; both byte orders are parsed.
 
 Supported types: Point(1), LineString(2), Polygon(3), MultiPoint(4),
 MultiLineString(5), MultiPolygon(6), GeometryCollection(7) — the
-non-curved OGR core set (ogr/ogr_core.h:405-409). Curved/3-D types are
-out of scope for v1 (the reference linearizes them for most drivers too).
+non-curved OGR core set (ogr/ogr_core.h:405-409) — plus, ON INGEST:
+ISO Z/M/ZM and EWKB flag/SRID variants (extra ordinates dropped — 2D
+engine) and the curved types CircularString(8), CompoundCurve(9),
+CurvePolygon(10), MultiCurve(11), MultiSurface(12), linearized at the
+reference's 4° default arc step (OGR_G_GetLinearGeometry semantics).
+Only little-endian 2-D non-curved geometries are produced.
 """
 
 from __future__ import annotations
@@ -24,8 +28,66 @@ WKB_MULTIPOINT = 4
 WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
 WKB_GEOMETRYCOLLECTION = 7
+WKB_CIRCULARSTRING = 8
+WKB_COMPOUNDCURVE = 9
+WKB_CURVEPOLYGON = 10
+WKB_MULTICURVE = 11
+WKB_MULTISURFACE = 12
 
 _POINT_HDR = struct.pack("<BI", 1, WKB_POINT)
+
+
+def linearize_circularstring(pts: np.ndarray, max_angle_deg: float = 4.0) -> np.ndarray:
+    """Linearize a CircularString's arc triples (p0→p1→p2 per arc) into a
+    polyline, ≤ ``max_angle_deg`` per step — the reference's
+    OGR_ARC_STEPSIZE default (ogr/ogrgeometryfactory.cpp
+    approximateArcAngles contract). Collinear triples emit straight
+    segments; endpoints are exact."""
+    pts = np.asarray(pts, dtype=np.float64)
+    if len(pts) < 3:
+        return pts.copy()
+    out = [pts[0]]
+    step = np.radians(max_angle_deg)
+    for i in range(0, len(pts) - 2, 2):
+        p0, p1, p2 = pts[i], pts[i + 1], pts[i + 2]
+        d = 2.0 * (p0[0] * (p1[1] - p2[1]) + p1[0] * (p2[1] - p0[1]) + p2[0] * (p0[1] - p1[1]))
+        if d == 0.0:  # collinear — straight chords
+            out.extend([p1, p2])
+            continue
+        a2, b2, c2 = (p0 ** 2).sum(), (p1 ** 2).sum(), (p2 ** 2).sum()
+        cx = (a2 * (p1[1] - p2[1]) + b2 * (p2[1] - p0[1]) + c2 * (p0[1] - p1[1])) / d
+        cy = (a2 * (p2[0] - p1[0]) + b2 * (p0[0] - p2[0]) + c2 * (p1[0] - p0[0])) / d
+        r = float(np.hypot(p0[0] - cx, p0[1] - cy))
+        t0 = np.arctan2(p0[1] - cy, p0[0] - cx)
+        t1 = np.arctan2(p1[1] - cy, p1[0] - cx)
+        t2 = np.arctan2(p2[1] - cy, p2[0] - cx)
+        # sweep direction: the one that passes through t1 on the way to t2
+        ccw1 = (t1 - t0) % (2 * np.pi)
+        ccw2 = (t2 - t0) % (2 * np.pi)
+        if ccw1 <= ccw2:  # counter-clockwise through p1
+            sweep = ccw2 if ccw2 > 0 else 2 * np.pi
+            n = max(int(np.ceil(sweep / step)), 1)
+            ts = t0 + sweep * np.arange(1, n) / n
+        else:  # clockwise
+            cw2 = (t0 - t2) % (2 * np.pi)
+            sweep = cw2 if cw2 > 0 else 2 * np.pi
+            n = max(int(np.ceil(sweep / step)), 1)
+            ts = t0 - sweep * np.arange(1, n) / n
+        out.extend(np.column_stack([cx + r * np.cos(ts), cy + r * np.sin(ts)]))
+        out.append(p2)
+    return np.asarray(out, dtype=np.float64)
+
+
+def _join_curve_parts(parts: list) -> np.ndarray:
+    """Concatenate CompoundCurve component polylines, dropping duplicated
+    joint vertices (the spec guarantees end(i) == start(i+1))."""
+    out = []
+    for i, c in enumerate(parts):
+        c = np.asarray(c, dtype=np.float64)
+        if i > 0 and len(out) and len(c) and np.array_equal(out[-1], c[0]):
+            c = c[1:]
+        out.extend(c)
+    return np.asarray(out, dtype=np.float64) if out else np.zeros((0, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -93,19 +155,45 @@ class _Reader:
         fmt = "<" if order == 1 else ">"
         gtype = struct.unpack_from(fmt + "I", self.buf, self.pos)[0]
         self.pos += 4
-        base = gtype % 1000  # tolerate ISO Z/M offsets (1001 → 1)
-        ndim = 2 + (1 if gtype >= 1000 else 0)
+        # EWKB flag bits (PostGIS convention): Z/M dimension flags and an
+        # embedded SRID; ISO encodes the same via +1000/+2000/+3000
+        ndim = 2 + bool(gtype & 0x80000000) + bool(gtype & 0x40000000)
+        if gtype & 0x20000000:
+            self.pos += 4  # embedded SRID — carried at column level here
+        gtype &= 0x0FFFFFFF
+        zm = gtype // 1000  # ISO: 0 (2D), 1 (Z), 2 (M), 3 (ZM)
+        if zm:
+            ndim = 2 + (1 if zm in (1, 2) else 2)
+        base = gtype % 1000
         if base == WKB_POINT:
             vals = struct.unpack_from(fmt + "d" * ndim, self.buf, self.pos)
             self.pos += 8 * ndim
             return ("Point", (vals[0], vals[1]))
-        if base in (WKB_LINESTRING,):
+        if base == WKB_LINESTRING:
             return ("LineString", self._coords(fmt, ndim))
+        if base == WKB_CIRCULARSTRING:
+            # linearized on ingest (OGRGeometryFactory::curveToLineString /
+            # GetLinearGeometry, ogr/ogr_api.h OGR_G_GetLinearGeometry)
+            return ("LineString", linearize_circularstring(self._coords(fmt, ndim)))
         if base == WKB_POLYGON:
             nrings = self._u32(fmt)
             return ("Polygon", [self._coords(fmt, ndim) for _ in range(nrings)])
-        if base in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON, WKB_GEOMETRYCOLLECTION):
-            name = {4: "MultiPoint", 5: "MultiLineString", 6: "MultiPolygon", 7: "GeometryCollection"}[base]
+        if base == WKB_COMPOUNDCURVE:
+            n = self._u32(fmt)
+            segs = [self.geom() for _ in range(n)]
+            return ("LineString", _join_curve_parts([s[1] for s in segs]))
+        if base == WKB_CURVEPOLYGON:
+            nrings = self._u32(fmt)
+            rings = []
+            for _ in range(nrings):
+                _, c = self.geom()  # LineString after linearization
+                rings.append(c)
+            return ("Polygon", rings)
+        if base in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON,
+                    WKB_GEOMETRYCOLLECTION, WKB_MULTICURVE, WKB_MULTISURFACE):
+            name = {4: "MultiPoint", 5: "MultiLineString", 6: "MultiPolygon",
+                    7: "GeometryCollection", 11: "MultiLineString",
+                    12: "MultiPolygon"}[base]
             n = self._u32(fmt)
             return (name, [self.geom() for _ in range(n)])
         raise ValueError(f"unsupported WKB geometry type {gtype}")

@@ -321,3 +321,58 @@ def test_delaunay_triangles_tile_hull():
     assert all(ops.area(t) > 0 for t in tris)
     # degenerate inputs
     assert ops.delaunay_triangles(("Point", np.array([0.0, 0.0])))[1] == []
+
+
+def test_wkb_zm_and_ewkb_variants():
+    import struct
+
+    import numpy as np
+    from gdal_spark.geometry import wkb
+
+    # ISO XYZ point (type 1001)
+    b = struct.pack("<BIddd", 1, 1001, 3.0, 4.0, 9.0)
+    assert wkb.parse_wkb(b) == ("Point", (3.0, 4.0))
+    # ISO XYM (2001) and XYZM (3001)
+    assert wkb.parse_wkb(struct.pack("<BIddd", 1, 2001, 1.0, 2.0, 7.0))[1] == (1.0, 2.0)
+    assert wkb.parse_wkb(struct.pack("<BIdddd", 1, 3001, 1.0, 2.0, 7.0, 8.0))[1] == (1.0, 2.0)
+    # EWKB Z flag + embedded SRID
+    b = struct.pack("<BI", 1, 1 | 0x80000000 | 0x20000000) + struct.pack(
+        "<Iddd", 4326, 5.0, 6.0, 0.5)
+    assert wkb.parse_wkb(b) == ("Point", (5.0, 6.0))
+    # ISO XYZ linestring: Z dropped
+    b = struct.pack("<BII", 1, 1002, 2) + struct.pack("<dddddd", 0, 0, 9, 1, 1, 9)
+    name, c = wkb.parse_wkb(b)
+    assert name == "LineString" and np.array_equal(c, [[0, 0], [1, 1]])
+
+
+def test_wkb_curved_types_linearize():
+    import struct
+
+    import numpy as np
+    from gdal_spark.geometry import ops, wkb
+
+    # half circle radius 1: (-1,0) → (0,1) → (1,0); length → π
+    cs = struct.pack("<BII", 1, 8, 3) + np.array(
+        [[-1, 0], [0, 1], [1, 0]], "<f8").tobytes()
+    name, c = wkb.parse_wkb(cs)
+    assert name == "LineString"
+    assert np.allclose(c[0], [-1, 0]) and np.allclose(c[-1], [1, 0])
+    assert abs(ops.length(("LineString", c)) - np.pi) < 2e-3
+    # CurvePolygon of a full circle (two half arcs in one CircularString):
+    # area → π r²
+    circ = struct.pack("<BII", 1, 8, 5) + np.array(
+        [[-1, 0], [0, 1], [1, 0], [0, -1], [-1, 0]], "<f8").tobytes()
+    cp = struct.pack("<BII", 1, 10, 1) + circ
+    name, rings = wkb.parse_wkb(cp)
+    assert name == "Polygon"
+    assert abs(ops.area(("Polygon", rings)) - np.pi) < 3e-3
+    # CompoundCurve: straight segment + half arc, joint vertex deduped
+    seg = struct.pack("<BII", 1, 2, 2) + np.array([[-2, 0], [-1, 0]], "<f8").tobytes()
+    cc = struct.pack("<BII", 1, 9, 2) + seg + cs
+    name, c = wkb.parse_wkb(cc)
+    assert name == "LineString"
+    assert np.allclose(c[0], [-2, 0]) and np.allclose(c[-1], [1, 0])
+    assert abs(ops.length(("LineString", c)) - (1.0 + np.pi)) < 2e-3
+    # MultiCurve → MultiLineString
+    mc = struct.pack("<BII", 1, 11, 1) + cs
+    assert wkb.parse_wkb(mc)[0] == "MultiLineString"

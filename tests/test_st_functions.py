@@ -220,3 +220,27 @@ def test_st_wkb_roundtrip(spark):
         st.st_astext(st.st_geomfromwkb(st.st_asbinary(F.col("g")))).alias("t")
     ).collect()[0]
     assert "POLYGON" in r.t
+
+
+def test_st_equals_collinear_tessellation(spark):
+    """Same square traced with an extra collinear mid-edge vertex and
+    rotated start must compare EQUAL (r2 deviation closed); a spike
+    vertex changes the traced set and stays unequal."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.functions.st import st_equals
+    from gdal_spark.geometry import wkt as _wkt
+
+    sq = "POLYGON ((0 0,2 0,2 2,0 2,0 0))"
+    sq_mid = "POLYGON ((2 0,2 2,0 2,0 0,1 0,2 0))"       # +collinear (1,0), rotated
+    line = "LINESTRING (0 0,1 0,2 0)"
+    line_plain = "LINESTRING (2 0,0 0)"                   # reversed, no midpoint
+    line_spike = "LINESTRING (0 0,3 0,2 0)"               # overshoot spike
+    rows = [
+        (1, bytearray(_wkt.wkt_to_wkb(sq)), bytearray(_wkt.wkt_to_wkb(sq_mid))),
+        (2, bytearray(_wkt.wkt_to_wkb(line)), bytearray(_wkt.wkt_to_wkb(line_plain))),
+        (3, bytearray(_wkt.wkt_to_wkb(line)), bytearray(_wkt.wkt_to_wkb(line_spike))),
+    ]
+    df = spark.createDataFrame(rows, "id INT, a BINARY, b BINARY")
+    got = {r.id: r.eq for r in df.select("id", st_equals("a", "b").alias("eq")).collect()}
+    assert got == {1: True, 2: True, 3: False}
