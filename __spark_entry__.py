@@ -2076,6 +2076,60 @@ def _make_dem_gate(qname: str, op: str, kw: dict):
     _lazy_oracle(qname, oracle)
 
 
+def _pansharpen_fixture():
+    from gdal_spark.raster.model import RasterMeta
+
+    smeta = RasterMeta(width=32, height=24, dtype="float32", block_w=16, block_h=12,
+                       gt=(0.0, 2.0, 0.0, 48.0, 0.0, -2.0))
+    pmeta = RasterMeta(width=64, height=48, dtype="uint16", block_w=16, block_h=12,
+                       gt=(0.0, 1.0, 0.0, 48.0, 0.0, -1.0))
+    rng = np.random.default_rng(77)
+    spec = rng.uniform(10.0, 200.0, (3, 24, 32)).astype(np.float32)
+    spec[0, :4, :4] = -1.0  # nodata patch → nodata in all output bands
+    pan = rng.uniform(20.0, 250.0, (48, 64)).astype(np.uint16)
+    return spec, smeta, pan, pmeta
+
+
+@_register("pansharpen_checksum")
+def q_pansharpen_checksum(spark, sf_dir):
+    """Weighted-Brovey pansharpen (GDALPansharpenOperation,
+    alg/gdalpansharpen.cpp:516-660): cubic spectral upsample + per-pixel
+    fusion, nodata propagation, saturation clamp; per-band checksums."""
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array
+    from gdal_spark.raster.pansharpen import pansharpen
+
+    spec, smeta, pan, pmeta = _pansharpen_fixture()
+    parts = [tiles_from_array(spark, spec[b], smeta, band=b + 1) for b in range(3)]
+    st = parts[0]
+    for p in parts[1:]:
+        st = st.unionByName(p)
+    pt = tiles_from_array(spark, pan, pmeta)
+    out = pansharpen(st, smeta, pt, pmeta, nodata=-1.0, max_value=255.0,
+                     out_nodata=-1.0).persist()
+    outmeta = RasterMeta(width=64, height=48, dtype="float64", block_w=16,
+                         block_h=12, gt=pmeta.gt)
+    rows = [(b, int(checksum_df(out, outmeta, band=b))) for b in (1, 2, 3)]
+    return spark.createDataFrame(rows, "band INT, checksum BIGINT")
+
+
+def _oracle_pansharpen() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.pansharpen import pansharpen_np
+
+    spec, smeta, pan, pmeta = _pansharpen_fixture()
+    want = pansharpen_np(spec.astype(np.float64), smeta, pan, pmeta,
+                         nodata=-1.0, max_value=255.0, out_nodata=-1.0)
+    rows = ", ".join(f"({b + 1}, {checksum_np(want[b])})" for b in range(3))
+    return (
+        "SELECT CAST(band AS INT) AS band, CAST(checksum AS BIGINT) AS checksum "
+        f"FROM (VALUES {rows}) t(band, checksum) ORDER BY band"
+    )
+
+
+_lazy_oracle("pansharpen_checksum", _oracle_pansharpen)
+
+
 _make_dem_gate("dem_hillshade_combined_checksum", "hillshade_combined", {"z": 2.0})
 _make_dem_gate("dem_hillshade_multidirectional_checksum", "hillshade_multidirectional", {"z": 2.0})
 _make_dem_gate("dem_hillshade_igor_checksum", "hillshade_igor", {"z": 2.0})

@@ -404,3 +404,40 @@ def test_grid_metric_algs_match_numpy(spark):
         )
         want = grid_points_np(px, py, pz, meta, alg=alg, radius=4.0, min_points=1)
         np.testing.assert_array_equal(got, want, err_msg=alg)
+
+
+def test_pansharpen_matches_oracle(spark):
+    """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): distributed
+    cubic upsample + fusion == single-node oracle, incl. nodata patch and
+    saturation clamp."""
+    from gdal_spark.raster.pansharpen import pansharpen, pansharpen_np
+
+    smeta = RasterMeta(width=32, height=24, dtype="float32", block_w=16, block_h=12,
+                       gt=(0.0, 2.0, 0.0, 48.0, 0.0, -2.0))
+    pmeta = RasterMeta(width=64, height=48, dtype="uint16", block_w=16, block_h=12,
+                       gt=(0.0, 1.0, 0.0, 48.0, 0.0, -1.0))
+    rng = np.random.default_rng(5)
+    spec = rng.uniform(10, 200, (3, 24, 32)).astype(np.float32)
+    spec[1, 5:8, 5:8] = -1.0
+    pan = rng.uniform(20, 250, (48, 64)).astype(np.uint16)
+    parts = [tiles_from_array(spark, spec[b], smeta, band=b + 1) for b in range(3)]
+    st = parts[0]
+    for p in parts[1:]:
+        st = st.unionByName(p)
+    pt = tiles_from_array(spark, pan, pmeta)
+    out = pansharpen(st, smeta, pt, pmeta, nodata=-1.0, max_value=255.0,
+                     out_nodata=-9.0, weights=[0.5, 0.25, 0.25]).persist()
+    outmeta = RasterMeta(width=64, height=48, dtype="float64", block_w=16,
+                         block_h=12, gt=pmeta.gt)
+    got = np.stack([tiles_to_array(out, outmeta, band=b + 1) for b in range(3)])
+    want = pansharpen_np(spec.astype(np.float64), smeta, pan, pmeta,
+                         weights=[0.5, 0.25, 0.25], nodata=-1.0,
+                         max_value=255.0, out_nodata=-9.0)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    # nodata semantics checked with NEAREST upsample (cubic smears the
+    # sentinel before the equality test — same contract as the reference,
+    # which compares the already-upsampled buffer to noData)
+    outn = pansharpen(st, smeta, pt, pmeta, resample="near", nodata=-1.0,
+                      out_nodata=-9.0).persist()
+    gotn = tiles_to_array(outn, outmeta, band=2)
+    assert (gotn[10:16, 10:16] == -9.0).all()
