@@ -2133,6 +2133,8 @@ _lazy_oracle("pansharpen_checksum", _oracle_pansharpen)
 _make_dem_gate("dem_hillshade_combined_checksum", "hillshade_combined", {"z": 2.0})
 _make_dem_gate("dem_hillshade_multidirectional_checksum", "hillshade_multidirectional", {"z": 2.0})
 _make_dem_gate("dem_hillshade_igor_checksum", "hillshade_igor", {"z": 2.0})
+_make_dem_gate("dem_slope_zt_checksum", "slope", {"grad": "zt"})
+_make_dem_gate("dem_hillshade_zt_checksum", "hillshade", {"z": 2.0, "grad": "zt"})
 
 
 def _raster_fixture_polys():

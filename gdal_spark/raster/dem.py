@@ -44,10 +44,22 @@ def _win(pad: np.ndarray):
     ]
 
 
-def hillshade_np(pad, ewres, nsres, z=1.0, xscale=1.0, yscale=1.0, az=315.0, alt=45.0):
+def _gradient(w, ewres, nsres, z, xscale, yscale, grad="horn"):
+    """Folded-z gradient: Horn (gdaldem_lib.cpp:770, z/8 factor) or
+    Zevenbergen–Thorne (:788, z/2 factor)."""
+    if grad == "zt":
+        x = z * (w[3] - w[5]) / (2.0 * ewres * xscale)
+        y = z * (w[7] - w[1]) / (2.0 * nsres * yscale)
+    else:
+        x = z * ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) / (8.0 * ewres * xscale)
+        y = z * ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) / (8.0 * nsres * yscale)
+    return x, y
+
+
+def hillshade_np(pad, ewres, nsres, z=1.0, xscale=1.0, yscale=1.0, az=315.0,
+                 alt=45.0, grad="horn"):
     w = [p.astype(np.float64) for p in _win(pad)]
-    x = z * ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) / (8.0 * ewres * xscale)
-    y = z * ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) / (8.0 * nsres * yscale)
+    x, y = _gradient(w, ewres, nsres, z, xscale, yscale, grad)
     azr = np.radians(az)
     altr = np.radians(alt)
     xx_plus_yy = x * x + y * y
@@ -59,13 +71,12 @@ def hillshade_np(pad, ewres, nsres, z=1.0, xscale=1.0, yscale=1.0, az=315.0, alt
 
 
 def hillshade_combined_np(pad, ewres, nsres, z=1.0, xscale=1.0, yscale=1.0,
-                          az=315.0, alt=45.0):
+                          az=315.0, alt=45.0, grad="horn"):
     """``gdaldem hillshade -combined`` (GDALHillshadeCombinedAlg,
     apps/gdaldem_lib.cpp:1133-1159): classic shade angle acos(cang)
     modulated by slope — cang' = 1 − acos(cang)·atan(√slope)·4/π²."""
     w = [p.astype(np.float64) for p in _win(pad)]
-    x = z * ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) / (8.0 * ewres * xscale)
-    y = z * ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) / (8.0 * nsres * yscale)
+    x, y = _gradient(w, ewres, nsres, z, xscale, yscale, grad)
     azr = np.radians(az)
     altr = np.radians(alt)
     slope = x * x + y * y  # == square_z * xx_plus_yy (z folded into x, y)
@@ -77,14 +88,13 @@ def hillshade_combined_np(pad, ewres, nsres, z=1.0, xscale=1.0, yscale=1.0,
 
 
 def hillshade_multidirectional_np(pad, ewres, nsres, z=1.0, xscale=1.0,
-                                  yscale=1.0, alt=45.0):
+                                  yscale=1.0, alt=45.0, grad="horn"):
     """``gdaldem hillshade -multidirectional``
     (GDALHillshadeMultiDirectionalAlg, apps/gdaldem_lib.cpp:1223-1283;
     USGS OF 92-422): aspect-weighted blend of shades from azimuths
     225/270/315/360 with weights sin²(aspect − az)."""
     w = [p.astype(np.float64) for p in _win(pad)]
-    x = z * ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) / (8.0 * ewres * xscale)
-    y = z * ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) / (8.0 * nsres * yscale)
+    x, y = _gradient(w, ewres, nsres, z, xscale, yscale, grad)
     altr = np.radians(alt)
     sin_alt_127 = 127.0 * np.sin(altr)
     cos_alt_127 = 127.0 * np.cos(altr)
@@ -109,17 +119,24 @@ def hillshade_multidirectional_np(pad, ewres, nsres, z=1.0, xscale=1.0,
     return np.where(xx_plus_yy == 0.0, 1.0 + 2.0 * sin_alt_127, 1.0 + cang_127)
 
 
-def hillshade_igor_np(pad, ewres, nsres, z=1.0, xscale=1.0, yscale=1.0, az=315.0):
+def hillshade_igor_np(pad, ewres, nsres, z=1.0, xscale=1.0, yscale=1.0,
+                      az=315.0, grad="horn"):
     """``gdaldem hillshade -igor`` (GDALHillshadeIgorAlg,
     apps/gdaldem_lib.cpp:933-995): shadowness = 1 − slopeStrength ×
     aspectStrength on a 0..255 scale; altitude is ignored."""
     w = [p.astype(np.float64) for p in _win(pad)]
-    dx = ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) / (ewres * xscale)
-    dy = ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) / (nsres * yscale)
-    slope_deg = np.degrees(np.arctan(np.sqrt(dx * dx + dy * dy) * (z / 8.0)))
-    # aspect from the UNSCALED Horn sums (:966-975)
-    adx = (w[2] + w[5] + w[5] + w[8]) - (w[0] + w[3] + w[3] + w[6])
-    ady = (w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])
+    if grad == "zt":
+        dx = (w[3] - w[5]) / (ewres * xscale)
+        dy = (w[7] - w[1]) / (nsres * yscale)
+        slope_deg = np.degrees(np.arctan(np.sqrt(dx * dx + dy * dy) * (z / 2.0)))
+        adx, ady = w[5] - w[3], w[7] - w[1]
+    else:
+        dx = ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) / (ewres * xscale)
+        dy = ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) / (nsres * yscale)
+        slope_deg = np.degrees(np.arctan(np.sqrt(dx * dx + dy * dy) * (z / 8.0)))
+        # aspect from the UNSCALED Horn sums (:966-975)
+        adx = (w[2] + w[5] + w[5] + w[8]) - (w[0] + w[3] + w[3] + w[6])
+        ady = (w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])
     aspect = np.arctan2(ady, -adx)
     target = 1.5 * np.pi - np.radians(az)
     diff = np.abs(np.mod(aspect, 2.0 * np.pi) - np.mod(target, 2.0 * np.pi))
@@ -128,20 +145,30 @@ def hillshade_igor_np(pad, ewres, nsres, z=1.0, xscale=1.0, yscale=1.0, az=315.0
     return 255.0 * shadowness
 
 
-def slope_np(pad, ewres, nsres, xscale=1.0, yscale=1.0, degrees=True):
+def slope_np(pad, ewres, nsres, xscale=1.0, yscale=1.0, degrees=True, grad="horn"):
     w = [p.astype(np.float64) for p in _win(pad)]
-    dx = ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) / (ewres * xscale)
-    dy = ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) / (nsres * yscale)
+    if grad == "zt":  # GDALSlopeZevenbergenThorneAlg (:1351)
+        dx = (w[3] - w[5]) / (ewres * xscale)
+        dy = (w[7] - w[1]) / (nsres * yscale)
+        div = 2.0
+    else:
+        dx = ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) / (ewres * xscale)
+        dy = ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) / (nsres * yscale)
+        div = 8.0
     key = dx * dx + dy * dy
     if degrees:
-        return np.degrees(np.arctan(np.sqrt(key) / 8.0))
-    return 100.0 * (np.sqrt(key) / 8.0)
+        return np.degrees(np.arctan(np.sqrt(key) / div))
+    return 100.0 * (np.sqrt(key) / div)
 
 
-def aspect_np(pad, azimuth=True):
+def aspect_np(pad, azimuth=True, grad="horn"):
     w = [p.astype(np.float64) for p in _win(pad)]
-    dx = (w[2] + w[5] + w[5] + w[8]) - (w[0] + w[3] + w[3] + w[6])
-    dy = (w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])
+    if grad == "zt":  # GDALAspectZevenbergenThorneAlg (:1434)
+        dx = w[5] - w[3]
+        dy = w[7] - w[1]
+    else:
+        dx = (w[2] + w[5] + w[5] + w[8]) - (w[0] + w[3] + w[3] + w[6])
+        dy = (w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])
     aspect = np.degrees(np.arctan2(dy, -dx))
     if azimuth:
         aspect = np.where(aspect > 90.0, 450.0 - aspect, 90.0 - aspect)
@@ -211,24 +238,28 @@ _ALGS = {
     "hillshade": lambda pad, meta, kw: hillshade_np(
         pad, meta.gt[1], meta.gt[5], kw.get("z", 1.0), kw.get("xscale", 1.0),
         kw.get("yscale", 1.0), kw.get("az", 315.0), kw.get("alt", 45.0),
+        kw.get("grad", "horn"),
     ),
     "hillshade_combined": lambda pad, meta, kw: hillshade_combined_np(
         pad, meta.gt[1], meta.gt[5], kw.get("z", 1.0), kw.get("xscale", 1.0),
         kw.get("yscale", 1.0), kw.get("az", 315.0), kw.get("alt", 45.0),
+        kw.get("grad", "horn"),
     ),
     "hillshade_multidirectional": lambda pad, meta, kw: hillshade_multidirectional_np(
         pad, meta.gt[1], meta.gt[5], kw.get("z", 1.0), kw.get("xscale", 1.0),
-        kw.get("yscale", 1.0), kw.get("alt", 45.0),
+        kw.get("yscale", 1.0), kw.get("alt", 45.0), kw.get("grad", "horn"),
     ),
     "hillshade_igor": lambda pad, meta, kw: hillshade_igor_np(
         pad, meta.gt[1], meta.gt[5], kw.get("z", 1.0), kw.get("xscale", 1.0),
-        kw.get("yscale", 1.0), kw.get("az", 315.0),
+        kw.get("yscale", 1.0), kw.get("az", 315.0), kw.get("grad", "horn"),
     ),
     "slope": lambda pad, meta, kw: slope_np(
         pad, meta.gt[1], meta.gt[5], kw.get("xscale", 1.0), kw.get("yscale", 1.0),
-        kw.get("degrees", True),
+        kw.get("degrees", True), kw.get("grad", "horn"),
     ),
-    "aspect": lambda pad, meta, kw: aspect_np(pad, kw.get("azimuth", True)),
+    "aspect": lambda pad, meta, kw: aspect_np(
+        pad, kw.get("azimuth", True), kw.get("grad", "horn")
+    ),
     "tri": lambda pad, meta, kw: tri_np(pad, kw.get("alg", "Riley")),
     "tri_wilson": lambda pad, meta, kw: tri_np(pad, "Wilson"),
     "tpi": lambda pad, meta, kw: tpi_np(pad),

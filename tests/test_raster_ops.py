@@ -441,3 +441,25 @@ def test_pansharpen_matches_oracle(spark):
                       out_nodata=-9.0).persist()
     gotn = tiles_to_array(outn, outmeta, band=2)
     assert (gotn[10:16, 10:16] == -9.0).all()
+
+
+@pytest.mark.parametrize("op,kw", [
+    ("hillshade", {"grad": "zt", "z": 2.0}),
+    ("slope", {"grad": "zt"}),
+    ("aspect", {"grad": "zt"}),
+    ("hillshade_igor", {"grad": "zt"}),
+])
+def test_dem_zevenbergen_thorne_matches_oracle(spark, terrain, op, kw):
+    """-alg ZevenbergenThorne gradient (gdaldem_lib.cpp:788,1351,1434)."""
+    tiles, full, meta = terrain
+    got = tiles_to_array(
+        dem.dem_op(tiles, meta, op, **kw), RasterMeta(
+            width=meta.width, height=meta.height, dtype="float64",
+            block_w=meta.block_w, block_h=meta.block_h, gt=meta.gt,
+        ),
+    )
+    want = dem.dem_op_np(full, meta, op, **kw)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12, equal_nan=True)
+    # ZT differs from Horn on non-flat terrain (guards silent fallthrough)
+    horn = dem.dem_op_np(full, meta, op)
+    assert not np.allclose(np.nan_to_num(want), np.nan_to_num(horn))
