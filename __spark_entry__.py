@@ -792,6 +792,38 @@ def _oracle_ann_lsh() -> str:
 _lazy_oracle("ann_lsh_bucketed", _oracle_ann_lsh)
 
 
+@_register("ann_ivf_topk")
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (FAISS-style coarse k-means quantizer + probed-cell join):
+    the second scale path beside LSH. Training = one bounded driver
+    sample; assignment and the candidate join are fully distributed."""
+    from gdal_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "qid")
+    return ivf_topk(q, e, k=3, n_centroids=8, n_probe=3).orderBy("qid", "rank")
+
+
+def _oracle_ann_ivf() -> str:
+    """Independent Python re-derivation of the sample, Lloyd centroids,
+    cell assignment, probe set, and sequential-fold cosine."""
+    from gdal_spark.text import ref_impl
+
+    rows = ref_impl.ivf_topk_ref(
+        ref_impl.load_embeddings(), query_ids=set(range(10)), k=3,
+        n_centroids=8, n_probe=3,
+    )
+    return ref_impl.values_sql(
+        rows,
+        ["qid", "id", "cos_e6", "rank"],
+        ["BIGINT", "BIGINT", "BIGINT", "INT"],
+        "qid, rank",
+    )
+
+
+_lazy_oracle("ann_ivf_topk", _oracle_ann_ivf)
+
+
 # -- 7. raster ---------------------------------------------------------------
 
 @_register("multimodal_image_features")

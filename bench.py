@@ -128,6 +128,7 @@ def main():
         "ann_cosine_topk",
         "ann_knn_cosine_join",
         "ann_lsh_bucketed",
+        "ann_ivf_topk",
         "lang_id_counts",
         "doc_fingerprint",
         "raster_checksum_synth",

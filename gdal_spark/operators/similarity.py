@@ -323,3 +323,102 @@ def cosine_dedup_pairs(
         .select("id1", "id2", "cos_e6")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + probed cell join
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(sample: np.ndarray, n_centroids: int, iters: int = 5) -> np.ndarray:
+    """Deterministic Lloyd k-means (public algorithm; the IVF coarse
+    quantizer shape used by FAISS-style indexes): init = the first
+    ``n_centroids`` sample rows, assignment ties → lowest centroid index
+    (np.argmin first-occurrence), empty clusters keep their previous
+    centroid. Training is a bounded driver step over a deterministic
+    sample — standard IVF practice (train small, assign at scale)."""
+    C = np.asarray(sample[:n_centroids], dtype=np.float64).copy()
+    sample = np.asarray(sample, dtype=np.float64)
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for c in range(len(C)):
+            m = a == c
+            if m.any():
+                C[c] = sample[m].mean(axis=0)
+    return C
+
+
+def ivf_assign_np(v, C: np.ndarray) -> int:
+    """Nearest-centroid cell for one vector — the EXACT expression the
+    oracle re-derives (per-row, centroid-vectorized; first-occurrence
+    tie-break)."""
+    v = np.asarray(v, dtype=np.float64)
+    return int(((C - v) ** 2).sum(axis=1).argmin())
+
+
+def ivf_probe_np(v, C: np.ndarray, n_probe: int) -> list:
+    """The ``n_probe`` nearest cells, ascending distance, stable ties."""
+    v = np.asarray(v, dtype=np.float64)
+    d2 = ((C - v) ** 2).sum(axis=1)
+    return [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 5,
+    sample_size: int = 2048,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    score: str = "fold",
+) -> DataFrame:
+    """Approximate kNN via an IVF index: corpus vectors are partitioned
+    into ``n_centroids`` Voronoi cells of a k-means coarse quantizer;
+    each query probes its ``n_probe`` nearest cells. The candidate join
+    is an equi-join on cell id — per-query work ∝ probed-cell occupancy
+    (≈ n_probe/n_centroids of the corpus), not corpus size.
+
+    Training is ONE bounded driver action (``orderBy(id).limit(sample)``
+    → NumPy Lloyd, deterministic); centroids ship to executors inside
+    the Arrow UDF closure. At 100 TB the assignment pass is a linear
+    map-only scan and the probe join shuffles only cell ids + scores.
+
+    ``score``: "fold" (JVM sequential aggregate, bit-equal to the Python
+    oracle) or "arrow" (einsum batch, throughput path at real dims)."""
+    sample_rows = (
+        corpus.select(corpus_id, vec_col).orderBy(corpus_id).limit(sample_size).collect()
+    )
+    C = kmeans_fit(
+        np.array([list(r[1]) for r in sample_rows], dtype=np.float64),
+        n_centroids, iters,
+    )
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        return pd.Series([ivf_assign_np(x, C) for x in v])
+
+    @F.pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        return pd.Series([ivf_probe_np(x, C, n_probe) for x in v])
+
+    c = corpus.select(F.col(corpus_id).alias("id"), F.col(vec_col).alias("cv")).withColumn(
+        "cell", assign(F.col("cv"))
+    )
+    qp = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")).select(
+        "qid", "qv", F.explode(probe(F.col("qv"))).alias("cell")
+    )
+    sim_fn = cosine_sim_arrow if score == "arrow" else cosine_sim_col
+    cos = sim_fn(F.col("cv"), F.col("qv"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), F.col("id").asc())
+    return (
+        F.broadcast(qp).join(c, "cell")
+        .withColumn("cos_e6", F.floor(cos * 1_000_000 + F.lit(0.5)).cast("long"))
+        .select("qid", "id", "cos_e6")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "cos_e6", "rank")
+    )

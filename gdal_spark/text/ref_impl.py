@@ -308,3 +308,41 @@ def lsh_cosine_pairs_ref(
             if cos_e6 >= cut:
                 out.append((id1, id2, cos_e6))
     return sorted(out)
+
+
+def ivf_topk_ref(
+    embeddings: list[tuple[int, list[float]]],
+    query_ids: set[int],
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    iters: int = 5,
+    sample_size: int = 2048,
+) -> list[tuple[int, int, int, int]]:
+    """(qid, id, cos_e6, rank) per operators.similarity.ivf_topk: the
+    same deterministic sample (first ``sample_size`` by id), Lloyd
+    centroids, per-row assignment/probe expressions, and sequential-fold
+    cosine — exact, not recall-only."""
+    import numpy as np
+
+    from gdal_spark.operators.similarity import ivf_assign_np, ivf_probe_np, kmeans_fit
+
+    ordered = sorted(embeddings, key=lambda t: t[0])
+    S = np.array([v for _, v in ordered[:sample_size]], dtype=np.float64)
+    C = kmeans_fit(S, n_centroids, iters)
+    by_cell: dict[int, list[tuple[int, list[float]]]] = {}
+    for vid, v in embeddings:
+        by_cell.setdefault(ivf_assign_np(v, C), []).append((vid, v))
+    out = []
+    for qid, qv in embeddings:
+        if qid not in query_ids:
+            continue
+        scored = []
+        for cell in ivf_probe_np(qv, C, n_probe):
+            for vid, cv in by_cell.get(cell, []):
+                cos = _seq_dot(cv, qv) / (_seq_norm(cv) * _seq_norm(qv))
+                scored.append((math.floor(cos * 1_000_000 + 0.5), vid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (ce6, vid) in enumerate(scored[:k], 1):
+            out.append((qid, vid, ce6, rank))
+    return out

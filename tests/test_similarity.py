@@ -165,3 +165,41 @@ def test_lsh_bucketed_realistic_dims_arrow(spark):
         hits += len(want & approx.get(qid, set()))
         total += 3
     assert hits / total >= 0.4
+
+
+def test_ivf_topk_recall_and_exactness(spark):
+    """IVF vs brute-force on clustered synthetic vectors: self-match is
+    always found (probe includes own cell) and recall@3 is high; the
+    result matches the independent Python re-derivation exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.operators.similarity import ivf_topk, knn_cosine_join
+    from gdal_spark.text.ref_impl import ivf_topk_ref
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16))
+    vecs = []
+    for i in range(400):
+        c = centers[i % 8]
+        vecs.append((i, (c + 0.15 * rng.standard_normal(16)).tolist()))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [v[0] for v in vecs], "embedding": [v[1] for v in vecs]})
+    )
+    q = df.filter(df.vec_id < 12).withColumnRenamed("vec_id", "qid")
+    got = ivf_topk(q, df, k=3, n_centroids=8, n_probe=2).collect()
+    want = ivf_topk_ref(vecs, query_ids=set(range(12)), k=3, n_centroids=8, n_probe=2)
+    got_t = sorted((r.qid, r.id, r.cos_e6, r.rank) for r in got)
+    assert got_t == sorted(want)
+    # rank-1 is the query itself (cos 1.0)
+    assert all(r.id == r.qid for r in got if r.rank == 1)
+    # recall@3 vs exact brute force
+    exact = knn_cosine_join(q, df, k=3, query_id="qid").collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.id)
+    got_sets = {}
+    for r in got:
+        got_sets.setdefault(r.qid, set()).add(r.id)
+    hits = sum(len(got_sets[q_] & exact_sets[q_]) for q_ in exact_sets)
+    assert hits / (3 * len(exact_sets)) >= 0.8
