@@ -257,3 +257,24 @@ class VectorPipeline:
             _xy(F.col(self.geom)).alias("p"), F.col(z_col).alias("z")
         ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"), "z")
         return grid_points(pts, meta, alg=alg, **kw)
+
+    def dissolve(self, by: list | None = None, n_partial: int = 8) -> "VectorPipeline":
+        """``gdal vector pipeline ... dissolve`` analogue (aggregate
+        UnaryUnion per key; layer_algebra.dissolve salted union tree)."""
+        from gdal_spark.operators.layer_algebra import dissolve as _dissolve
+
+        return VectorPipeline(
+            _dissolve(self.df, by=by, geom=self.geom, n_partial=n_partial), self.geom
+        )
+
+    def rasterize(self, meta, burn_col: str | None = None, burn: float = 1.0, **kw):
+        """``... rasterize`` step: terminate into a raster tiles
+        DataFrame (apps/gdalalg_vector_rasterize.cpp semantics via
+        raster/rasterize.py). Returns the tiles DataFrame."""
+        from gdal_spark.raster.rasterize import rasterize as _rasterize
+
+        df = self.df
+        if burn_col is None:
+            df = df.withColumn("__burn", F.lit(float(burn)))
+            burn_col = "__burn"
+        return _rasterize(df, meta, geom_col=self.geom, burn_col=burn_col, **kw)

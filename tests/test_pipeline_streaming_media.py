@@ -208,3 +208,29 @@ def test_pipeline_grid_step(spark):
     got = tiles_to_array(tiles, meta)
     want = grid_points_np(px, py, pz, meta, alg="nearest", radius=6.0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_pipeline_dissolve_and_rasterize_steps(spark):
+    """r3 pipeline steps: dissolve (aggregate UnaryUnion) and the
+    rasterize terminal step."""
+    import numpy as np
+
+    from gdal_spark.geometry import wkt as _wkt
+    from gdal_spark.operators.vector_pipeline import VectorPipeline
+    from gdal_spark.raster.model import RasterMeta, tiles_to_array
+
+    rows = [
+        ("a", bytearray(_wkt.wkt_to_wkb("POLYGON ((0 0,2 0,2 2,0 2,0 0))"))),
+        ("a", bytearray(_wkt.wkt_to_wkb("POLYGON ((1 1,3 1,3 3,1 3,1 1))"))),
+    ]
+    df = spark.createDataFrame(rows, "grp STRING, geometry BINARY")
+    p = VectorPipeline(df).dissolve(by=["grp"])
+    from gdal_spark.functions.st import st_area
+    [r] = p.df.select(st_area("geometry").alias("a")).collect()
+    assert abs(r.a - 7.0) < 1e-9
+    meta = RasterMeta(width=4, height=4, dtype="uint8", block_w=4, block_h=4,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    out_meta = RasterMeta(width=4, height=4, dtype="float64", block_w=4, block_h=4, gt=meta.gt)
+    tiles = VectorPipeline(df.filter("grp = 'a'")).rasterize(meta, burn=5.0)
+    arr = tiles_to_array(tiles, out_meta)
+    assert arr.max() == 5.0 and (arr > 0).sum() > 0
