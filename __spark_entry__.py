@@ -2108,6 +2108,61 @@ def _make_dem_gate(qname: str, op: str, kw: dict):
     _lazy_oracle(qname, oracle)
 
 
+def _rgb_pct_fixture():
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (6, 3))
+    idx = rng.integers(0, 6, (40, 48))
+    noise = rng.integers(-10, 11, (40, 48, 3))
+    img = np.clip(base[idx] + noise, 0, 255).astype(np.uint8)
+    return img[..., 0], img[..., 1], img[..., 2]
+
+
+@_register("rgb_pct_quantize")
+def q_rgb_pct_quantize(spark, sf_dir):
+    """rgb→pct: median-cut palette (GDALComputeMedianCutPCT,
+    alg/gdalmediancut.cpp — exact box-list/split/shrink discipline) +
+    nearest-color mapping (error-diffusion dither is serial by
+    construction and stays out of scope). Emits the palette rows plus the
+    checksum of the mapped index raster."""
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array
+    from gdal_spark.raster.quantize import apply_pct, compute_median_cut_pct
+
+    r, g, b = _rgb_pct_fixture()
+    meta = RasterMeta(width=48, height=40, dtype="uint8", block_w=16, block_h=20)
+    t = None
+    for i, band in enumerate((r, g, b)):
+        tt = tiles_from_array(spark, band, meta, band=i + 1)
+        t = tt if t is None else t.unionByName(tt)
+    t = t.persist()
+    pal = compute_median_cut_pct(t, meta, n_colors=16)
+    cs = int(checksum_df(apply_pct(t, meta, pal), meta))
+    rows = [(i, int(p[0]), int(p[1]), int(p[2]), cs) for i, p in enumerate(pal)]
+    return spark.createDataFrame(
+        rows, "idx INT, r INT, g INT, b INT, mapped_checksum BIGINT"
+    ).orderBy("idx")
+
+
+def _oracle_rgb_pct() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.quantize import rgb_to_pct_np
+
+    r, g, b = _rgb_pct_fixture()
+    pal, mapped = rgb_to_pct_np(r, g, b, n_colors=16)
+    cs = checksum_np(mapped)
+    rows = ", ".join(
+        f"({i}, {int(p[0])}, {int(p[1])}, {int(p[2])}, {cs})" for i, p in enumerate(pal)
+    )
+    return (
+        "SELECT CAST(idx AS INT) AS idx, CAST(r AS INT) AS r, CAST(g AS INT) AS g, "
+        "CAST(b AS INT) AS b, CAST(mapped_checksum AS BIGINT) AS mapped_checksum "
+        f"FROM (VALUES {rows}) t(idx, r, g, b, mapped_checksum) ORDER BY idx"
+    )
+
+
+_lazy_oracle("rgb_pct_quantize", _oracle_rgb_pct)
+
+
 def _pansharpen_fixture():
     from gdal_spark.raster.model import RasterMeta
 

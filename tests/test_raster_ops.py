@@ -463,3 +463,30 @@ def test_dem_zevenbergen_thorne_matches_oracle(spark, terrain, op, kw):
     # ZT differs from Horn on non-flat terrain (guards silent fallthrough)
     horn = dem.dem_op_np(full, meta, op)
     assert not np.allclose(np.nan_to_num(want), np.nan_to_num(horn))
+
+
+def test_rgb_pct_median_cut(spark):
+    """Median-cut palette + nearest-color mapping: distributed ==
+    single-node oracle; palette box-list order is the reference's
+    (gdalmediancut.cpp prepend discipline)."""
+    from gdal_spark.raster.quantize import (
+        apply_pct, compute_median_cut_pct, rgb_to_pct_np,
+    )
+
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, 256, (5, 3))
+    idx = rng.integers(0, 5, (30, 36))
+    img = np.clip(base[idx] + rng.integers(-8, 9, (30, 36, 3)), 0, 255).astype(np.uint8)
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    pal, mapped = rgb_to_pct_np(r, g, b, n_colors=8)
+    meta = RasterMeta(width=36, height=30, dtype="uint8", block_w=12, block_h=15)
+    t = None
+    for i, band in enumerate((r, g, b)):
+        tt = tiles_from_array(spark, band, meta, band=i + 1)
+        t = tt if t is None else t.unionByName(tt)
+    pal2 = compute_median_cut_pct(t, meta, n_colors=8)
+    assert np.array_equal(pal, pal2)
+    got = tiles_to_array(apply_pct(t, meta, pal2), meta)
+    assert np.array_equal(got, mapped)
+    # quantized reconstruction approximates the clustered input
+    assert np.abs(pal[mapped].astype(int) - img.astype(int)).mean() < 12.0
