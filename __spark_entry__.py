@@ -2108,6 +2108,35 @@ def _make_dem_gate(qname: str, op: str, kw: dict):
     _lazy_oracle(qname, oracle)
 
 
+@_register("viewshed_checksum")
+def q_viewshed_checksum(spark, sf_dir):
+    """Viewshed (alg/viewshed/viewshed_executor.cpp, Wang 2000
+    reference-plane recurrence; VERDICT item 64 closed further):
+    distributed block wavefront vs the sequential NumPy oracle."""
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, synth_raster
+    from gdal_spark.raster.viewshed import viewshed
+
+    meta = _terrain_meta()
+    out = viewshed(synth_raster(spark, meta), meta, nx=40, ny=25, observer_height=5.0)
+    out_meta = RasterMeta(width=meta.width, height=meta.height, dtype="float64",
+                          block_w=meta.block_w, block_h=meta.block_h, gt=meta.gt)
+    cs = checksum_df(out, out_meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_viewshed() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.viewshed import viewshed_np
+
+    full, meta = _terrain_full_np()
+    img = viewshed_np(full, 40, 25, observer_height=5.0)
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("viewshed_checksum", _oracle_viewshed)
+
+
 def _rgb_pct_fixture():
     rng = np.random.default_rng(9)
     base = rng.integers(0, 256, (6, 3))

@@ -1,0 +1,417 @@
+"""Viewshed — visibility raster from an observer point
+(gdal_viewshed; alg/viewshed/viewshed_executor.cpp, Wang, Robinson &
+White 2000 reference-plane algorithm).
+
+Semantics replicated exactly (OutputMode::Normal; no curvature
+adjustment, distance or angle/pitch masks in v1 — those are additive
+per-cell adjustments on the same recurrence):
+
+- observer height z is an offset above the DEM at the observer cell
+- heights become h − zObs; the observer cell is visible
+- first line (observer row): 1-D chain, z = CalcHeightLine(d, prev) =
+  prev·d/(d−1) over the UPDATED nearer cell
+- other lines, scanning away from the observer (up and down):
+  center column: z = this (|dy|=1) else CalcHeightLine(dy, last[cx]);
+  off-center (dx vs dy, default CellMode::Edge):
+    dx == dy: z = this (dx=1) else CalcHeightLine(dx, lastDiag)
+    dx >  dy: z = CalcHeightEdge(dy, dx, lastDiag, thisPrev)
+    dx <  dy: z = CalcHeightEdge(dx, dy, lastDiag, last)
+  with CalcHeightEdge(i, j, Za, Zb) = (Za·i + Zb·(j−i))/(j−1)
+  (viewshed_executor.cpp:52-100); cell modes diagonal/min/max supported
+- visible iff cellVal + target_height ≥ z; then cellVal ← max(cellVal, z)
+  (setOutput, viewshed_executor.cpp:179-192)
+
+Distribution: the recurrence is a WAVEFRONT from the observer — cell
+(u, v) in quadrant coordinates depends on (u−1, v), (u, v−1),
+(u−1, v−1). The center row and column are two cheap 1-D chains; each of
+the 4 quadrants then runs a block wavefront: anti-diagonal round k
+processes every block with bi+bj = k in parallel (applyInPandas), each
+block consuming its left neighbor's right edge column, its lower
+neighbor's top edge row, and the diagonal corner cell. Wavefront depth =
+blocks_x + blocks_y per quadrant (the algorithm's inherent critical
+path); parallelism = anti-diagonal width × 4 quadrants. No driver-side
+pixel data — only per-round boundary rows/cols move between stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from gdal_spark.raster.model import RasterMeta, TILES_SCHEMA
+
+
+def _zcalc(mode: str):
+    def edge(dx, dy, this_prev, last, last_diag):
+        if dx >= dy:
+            return (last_diag * dy + this_prev * (dx - dy)) / (dx - 1)
+        return (last_diag * dx + last * (dy - dx)) / (dy - 1)
+
+    def diagonal(dx, dy, this_prev, last, last_diag):
+        return (this_prev * dx + last * dy) / (dx + dy - 1)
+
+    if mode == "edge":
+        return edge
+    if mode == "diagonal":
+        return diagonal
+    if mode == "min":
+        return lambda *a: min(edge(*a), diagonal(*a))
+    if mode == "max":
+        return lambda *a: max(edge(*a), diagonal(*a))
+    raise ValueError(f"unknown cell mode {mode!r}")
+
+
+def _block_sweep(
+    h: np.ndarray, u0: int, v0: int,
+    left_this_col: np.ndarray, last_row: np.ndarray, corner: float,
+    target: float, visible: float, invisible: float, zcalc,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sweep one quadrant block. Quadrant coordinates: u = |dx| ≥ 1,
+    v = |dy| ≥ 1, both increasing away from the observer.
+
+    ``h``: (V, U) adjusted heights for u ∈ [u0, u0+U), v ∈ [v0, v0+V).
+    ``left_this_col``: (V,) updated THIS-LINE values at u0−1 for each v
+    (u0=1 → the center column chain).
+    ``last_row``: (U,) updated LAST-LINE values at v0−1 for each u
+    (v0=1 → the first-line chain).
+    ``corner``: updated value at (u0−1, v0−1).
+
+    Returns (result block, updated heights block); also the inputs for
+    the neighboring blocks are slices of the updated heights.
+    """
+    V, U = h.shape
+    res = np.empty((V, U), dtype=np.float64)
+    hh = h.astype(np.float64).copy()
+    prev_row = last_row.astype(np.float64).copy()  # updated values at v-1, u∈[u0,u0+U)
+    prev_corner = float(corner)                    # updated value at (u0-1, v-1)
+    for vi in range(V):
+        v = v0 + vi
+        this_prev = float(left_this_col[vi])       # updated (u0-1, v)
+        for ui in range(U):
+            u = u0 + ui
+            lastv = prev_row[ui]                   # (u, v-1)
+            last_diag = prev_corner if ui == 0 else prev_row[ui - 1]
+            cell = hh[vi, ui]
+            if u == v:
+                z = cell if u == 1 else last_diag * u / (u - 1)
+            else:
+                z = zcalc(u, v, this_prev, lastv, last_diag)
+            res[vi, ui] = invisible if cell + target < z else visible
+            cell = max(cell, z)
+            hh[vi, ui] = cell
+            this_prev = cell
+        prev_corner = float(left_this_col[vi])
+        prev_row = hh[vi]
+    return res, hh
+
+
+def _line_chain(vals: np.ndarray, target: float, visible: float, invisible: float):
+    """1-D CalcHeightLine chain for the observer row/column: element i is
+    distance i+1 from the observer (adjacent cell first). Returns
+    (result, updated)."""
+    v = vals.astype(np.float64).copy()
+    res = np.empty(len(v), dtype=np.float64)
+    if len(v) == 0:
+        return res, v
+    res[0] = visible  # adjacent cell is always visible
+    for i in range(1, len(v)):
+        d = i + 1
+        z = v[i - 1] * d / (d - 1)
+        res[i] = invisible if v[i] + target < z else visible
+        v[i] = max(v[i], z)
+    return res, v
+
+
+def viewshed_np(
+    dem: np.ndarray, nx: int, ny: int, observer_height: float = 2.0,
+    target_height: float = 0.0, visible: float = 255.0, invisible: float = 0.0,
+    cell_mode: str = "edge",
+) -> np.ndarray:
+    """Single-node oracle: exact reference recurrence (Normal mode)."""
+    H, W = dem.shape
+    zcalc = _zcalc(cell_mode)
+    zobs = observer_height + float(dem[ny, nx])
+    h = dem.astype(np.float64) - zobs
+    res = np.full((H, W), invisible, dtype=np.float64)
+    res[ny, nx] = visible
+
+    # first line: two 1-D chains
+    left0 = h[ny, :nx][::-1]          # distances 1..nx
+    right0 = h[ny, nx + 1:]           # distances 1..W-1-nx
+    rl, ul = _line_chain(left0, target_height, visible, invisible)
+    rr, ur = _line_chain(right0, target_height, visible, invisible)
+    res[ny, :nx] = rl[::-1]
+    res[ny, nx + 1:] = rr
+    # center column: two 1-D chains
+    up0 = h[:ny, nx][::-1]
+    dn0 = h[ny + 1:, nx]
+    rcu, ucu = _line_chain(up0, target_height, visible, invisible)
+    rcd, ucd = _line_chain(dn0, target_height, visible, invisible)
+    res[:ny, nx] = rcu[::-1]
+    res[ny + 1:, nx] = rcd
+
+    # quadrants: (vertical direction, horizontal direction)
+    for vd, hd in ((-1, -1), (-1, 1), (1, -1), (1, 1)):
+        rows = np.arange(ny + vd, -1 if vd < 0 else H, vd)
+        cols = np.arange(nx + hd, -1 if hd < 0 else W, hd)
+        if not len(rows) or not len(cols):
+            continue
+        q = h[np.ix_(rows, cols)]
+        first = (ul if hd < 0 else ur)[: len(cols)]
+        center = (ucu if vd < 0 else ucd)[: len(rows)]
+        rq, _ = _block_sweep(
+            q, 1, 1, center, first, 0.0, target_height, visible, invisible, zcalc
+        )
+        res[np.ix_(rows, cols)] = rq
+    return res
+
+
+def _center_chains(tiles: DataFrame, meta: RasterMeta, nx: int, ny: int,
+                   observer_height: float, target: float, visible: float,
+                   invisible: float, band: int):
+    """Collect the observer row and column (two O(W)+O(H) vectors — the
+    algorithm's inherent sequential critical path) and run the 1-D
+    chains driver-side. Everything 2-D stays distributed."""
+    bh, bw = meta.block_h, meta.block_w
+    oby, obx = ny // bh, nx // bw
+    dtype = meta.dtype
+    rows = (
+        tiles.filter((F.col("band") == band) & (F.col("block_y") == oby))
+        .select("block_x", "h", "w", "data").collect()
+    )
+    cols = (
+        tiles.filter((F.col("band") == band) & (F.col("block_x") == obx))
+        .select("block_y", "h", "w", "data").collect()
+    )
+    row_vals = np.zeros(meta.width, dtype=np.float64)
+    for r in rows:
+        a = np.frombuffer(bytes(r.data), dtype=dtype).reshape(r.h, r.w)
+        row_vals[r.block_x * bw : r.block_x * bw + r.w] = a[ny - oby * bh]
+    col_vals = np.zeros(meta.height, dtype=np.float64)
+    for r in cols:
+        a = np.frombuffer(bytes(r.data), dtype=dtype).reshape(r.h, r.w)
+        col_vals[r.block_y * bh : r.block_y * bh + r.h] = a[:, nx - obx * bw]
+    zobs = observer_height + row_vals[nx]
+    row_vals = row_vals - zobs
+    col_vals = col_vals - zobs
+    rl, ul = _line_chain(row_vals[:nx][::-1], target, visible, invisible)
+    rr, ur = _line_chain(row_vals[nx + 1:], target, visible, invisible)
+    rcu, ucu = _line_chain(col_vals[:ny][::-1], target, visible, invisible)
+    rcd, ucd = _line_chain(col_vals[ny + 1:], target, visible, invisible)
+    return zobs, (rl, rr, rcu, rcd), {"L": ul, "R": ur, "U": ucu, "D": ucd}
+
+
+_VS_SCHEMA = (
+    "role STRING, quad INT, bi INT, bj INT, u0 INT, v0 INT, "
+    "nv INT, nu INT, data BINARY"
+)
+
+
+def viewshed(
+    tiles: DataFrame, meta: RasterMeta, nx: int, ny: int,
+    observer_height: float = 2.0, target_height: float = 0.0,
+    visible: float = 255.0, invisible: float = 0.0,
+    cell_mode: str = "edge", band: int = 1,
+) -> DataFrame:
+    """Distributed viewshed → float64 tiles (visible/invisible values).
+
+    Block wavefront per quadrant (module docstring): round k processes
+    the anti-diagonal bi+bj = k of each quadrant in parallel; boundary
+    rows/cols flow between rounds as slim binary columns — no pixel data
+    ever reaches the driver beyond the two center chains."""
+    spark = tiles.sparkSession
+    H, W = meta.height, meta.width
+    bh, bw = meta.block_h, meta.block_w
+    dtype = meta.dtype
+    zcalc = _zcalc(cell_mode)
+    zobs, (rl, rr, rcu, rcd), chains = _center_chains(
+        tiles, meta, nx, ny, observer_height, target_height, visible, invisible, band
+    )
+
+    # quadrant geometry: quad id -> (vd, hd)
+    QUADS = {0: (-1, -1), 1: (-1, 1), 2: (1, -1), 3: (1, 1)}
+    fbx = {(-1): (nx - 1) // bw if nx > 0 else None, 1: (nx + 1) // bw if nx + 1 < W else None}
+    fby = {(-1): (ny - 1) // bh if ny > 0 else None, 1: (ny + 1) // bh if ny + 1 < H else None}
+
+    def explode_blocks(iterator):
+        """Per tile: emit its (≤4) quadrant sub-blocks, flipped so that
+        local (v, u) increase away from the observer."""
+        for pdf in iterator:
+            out = []
+            for r in pdf.itertuples():
+                if int(r.band) != band:
+                    continue
+                a = np.frombuffer(r.data, dtype=dtype).reshape(r.h, r.w).astype(np.float64) - zobs
+                x0, y0 = r.block_x * bw, r.block_y * bh
+                for quad, (vd, hd) in QUADS.items():
+                    if fbx[hd] is None or fby[vd] is None:
+                        continue
+                    # global column range of this block inside the quadrant
+                    if hd == 1:
+                        cx0, cx1 = max(x0, nx + 1), x0 + r.w - 1
+                        bi = r.block_x - fbx[1]
+                    else:
+                        cx0, cx1 = x0, min(x0 + r.w - 1, nx - 1)
+                        bi = fbx[-1] - r.block_x
+                    if vd == 1:
+                        cy0, cy1 = max(y0, ny + 1), y0 + r.h - 1
+                        bj = r.block_y - fby[1]
+                    else:
+                        cy0, cy1 = y0, min(y0 + r.h - 1, ny - 1)
+                        bj = fby[-1] - r.block_y
+                    if cx0 > cx1 or cy0 > cy1 or bi < 0 or bj < 0:
+                        continue
+                    sub = a[cy0 - y0 : cy1 - y0 + 1, cx0 - x0 : cx1 - x0 + 1]
+                    if hd == -1:
+                        sub = sub[:, ::-1]
+                    if vd == -1:
+                        sub = sub[::-1, :]
+                    u0 = (cx0 - nx) if hd == 1 else (nx - cx1)
+                    v0 = (cy0 - ny) if vd == 1 else (ny - cy1)
+                    out.append(
+                        ("DEM", quad, int(bi), int(bj), int(u0), int(v0),
+                         sub.shape[0], sub.shape[1],
+                         np.ascontiguousarray(sub).tobytes())
+                    )
+            yield pd.DataFrame(
+                out, columns=["role", "quad", "bi", "bj", "u0", "v0", "nv", "nu", "data"]
+            )
+
+    blocks = tiles.mapInPandas(explode_blocks, _VS_SCHEMA).persist()
+    maxd = blocks.groupBy().agg(F.max(F.col("bi") + F.col("bj"))).collect()[0][0]
+    if maxd is None:
+        maxd = -1
+
+    hchain = {0: chains["L"], 1: chains["R"], 2: chains["L"], 3: chains["R"]}
+    vchain = {0: chains["U"], 1: chains["U"], 2: chains["D"], 3: chains["D"]}
+
+    def proc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        quad, bi, bj = int(key[0]), int(key[1]), int(key[2])
+        d = {str(r.role): r for r in pdf.itertuples()}
+        if "DEM" not in d:  # boundary targeted past the raster edge
+            return pd.DataFrame(
+                [], columns=["role", "quad", "bi", "bj", "u0", "v0", "nv", "nu", "data"]
+            )
+        blk = d["DEM"]
+        V, U = int(blk.nv), int(blk.nu)
+        u0, v0 = int(blk.u0), int(blk.v0)
+        h = np.frombuffer(blk.data, dtype=np.float64).reshape(V, U)
+        # left boundary: center-column chain (bi == 0) or wavefront input
+        if bi == 0:
+            left = vchain[quad][v0 - 1 : v0 - 1 + V]
+        else:
+            left = np.frombuffer(d["L"].data, dtype=np.float64)
+        # last-line boundary: first-line chain (bj == 0) or wavefront input
+        if bj == 0:
+            last = hchain[quad][u0 - 1 : u0 - 1 + U]
+        else:
+            last = np.frombuffer(d["B"].data, dtype=np.float64)
+        if bi == 0 and bj == 0:
+            corner = 0.0  # (0,0) = observer cell, never consulted (u0=v0=1)
+        elif bi == 0:
+            corner = float(vchain[quad][v0 - 2])
+        elif bj == 0:
+            corner = float(hchain[quad][u0 - 2])
+        else:
+            corner = float(np.frombuffer(d["C"].data, dtype=np.float64)[0])
+        res, hh = _block_sweep(
+            h, u0, v0, left, last, corner, target_height, visible, invisible, zcalc
+        )
+        rows = [
+            ("RES", quad, bi, bj, u0, v0, V, U, res.tobytes()),
+            ("L", quad, bi + 1, bj, u0, v0, V, 1,
+             np.ascontiguousarray(hh[:, -1]).tobytes()),
+            ("B", quad, bi, bj + 1, u0, v0, 1, U,
+             np.ascontiguousarray(hh[-1, :]).tobytes()),
+            ("C", quad, bi + 1, bj + 1, u0, v0, 1, 1,
+             np.ascontiguousarray(hh[-1:, -1]).tobytes()),
+        ]
+        return pd.DataFrame(
+            rows, columns=["role", "quad", "bi", "bj", "u0", "v0", "nv", "nu", "data"]
+        )
+
+    results = []
+    bounds = None
+    for k in range(0, maxd + 1):
+        cand = blocks.filter(F.col("bi") + F.col("bj") == k)
+        if bounds is not None:
+            cand = cand.unionByName(bounds.filter(F.col("bi") + F.col("bj") == k))
+        out = cand.groupBy("quad", "bi", "bj").applyInPandas(proc, _VS_SCHEMA).persist()
+        results.append(out.filter(F.col("role") == "RES"))
+        nb = out.filter(F.col("role").isin(["L", "B", "C"]))
+        bounds = nb if bounds is None else bounds.unionByName(nb)
+
+    # assemble global tiles: quadrant results + the center row/col chains
+    res_row = np.full(W, invisible)
+    res_row[:nx] = rl[::-1]
+    res_row[nx + 1:] = rr
+    res_row[nx] = visible
+    res_col = np.full(H, invisible)
+    res_col[:ny] = rcu[::-1]
+    res_col[ny + 1:] = rcd
+    res_col[ny] = visible
+    oby, obx = ny // bh, nx // bw
+
+    def to_global(iterator):
+        for pdf in iterator:
+            rows = []
+            for r in pdf.itertuples():
+                vd, hd = QUADS[int(r.quad)]
+                gbx = fbx[hd] + int(r.bi) if hd == 1 else fbx[hd] - int(r.bi)
+                gby = fby[vd] + int(r.bj) if vd == 1 else fby[vd] - int(r.bj)
+                rows.append((gby, gbx, int(r.quad), int(r.u0), int(r.v0),
+                             int(r.nv), int(r.nu), r.data))
+            yield pd.DataFrame(
+                rows,
+                columns=["gby", "gbx", "quad", "u0", "v0", "nv", "nu", "data"],
+            )
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        by, bx = int(key[0]), int(key[1])
+        y0, x0 = by * bh, bx * bw
+        hgt = min(bh, H - y0)
+        wid = min(bw, W - x0)
+        arr = np.full((hgt, wid), invisible, dtype=np.float64)
+        for r in pdf.itertuples():
+            if r.data is None:
+                continue
+            vd, hd = QUADS[int(r.quad)]
+            sub = np.frombuffer(r.data, dtype=np.float64).reshape(int(r.nv), int(r.nu))
+            if hd == -1:
+                sub = sub[:, ::-1]
+            if vd == -1:
+                sub = sub[::-1, :]
+            u0, v0 = int(r.u0), int(r.v0)
+            gx0 = nx + u0 if hd == 1 else nx - (u0 + int(r.nu) - 1)
+            gy0 = ny + v0 if vd == 1 else ny - (v0 + int(r.nv) - 1)
+            arr[gy0 - y0 : gy0 - y0 + sub.shape[0],
+                gx0 - x0 : gx0 - x0 + sub.shape[1]] = sub
+        if by == oby:
+            arr[ny - y0, :] = res_row[x0 : x0 + wid]
+        if bx == obx:
+            arr[:, nx - x0] = res_col[y0 : y0 + hgt]
+        return pd.DataFrame(
+            [(band, by, bx, hgt, wid, arr.tobytes())],
+            columns=["band", "block_y", "block_x", "h", "w", "data"],
+        )
+
+    allres = results[0]
+    for p in results[1:]:
+        allres = allres.unionByName(p)
+    pieces = allres.mapInPandas(
+        to_global,
+        "gby INT, gbx INT, quad INT, u0 INT, v0 INT, nv INT, nu INT, data BINARY",
+    )
+    # every block must emit a tile even with no quadrant piece (center
+    # row/col blocks at raster edges): left-join from the full block set
+    keys = (
+        tiles.filter(F.col("band") == band)
+        .select(F.col("block_y").alias("gby"), F.col("block_x").alias("gbx"))
+        .distinct()
+    )
+    return (
+        keys.join(pieces, ["gby", "gbx"], "left")
+        .groupBy("gby", "gbx")
+        .applyInPandas(assemble, TILES_SCHEMA)
+    )

@@ -218,3 +218,49 @@ def test_contour_closed_ring_across_chunks(spark):
     first = wkt[len("LINESTRING ("):].split(",")[0].strip()
     last = wkt[:-1].split(",")[-1].strip()
     assert first == last
+
+
+def test_viewshed_distributed_matches_oracle(spark):
+    """Block-wavefront viewshed == sequential reference recurrence
+    (alg/viewshed/viewshed_executor.cpp, Wang 2000), incl. observers on
+    block boundaries and near raster edges."""
+    import numpy as np
+
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array, tiles_to_array
+    from gdal_spark.raster.viewshed import viewshed, viewshed_np
+
+    rng = np.random.default_rng(3)
+    xx = np.arange(64)[None, :]
+    yy = np.arange(48)[:, None]
+    dem = (
+        rng.uniform(0, 10, (48, 64))
+        + 60 * np.exp(-(((xx - 40) / 6.0) ** 2 + ((yy - 15) / 5.0) ** 2))
+    ).astype(np.float32)
+    meta = RasterMeta(width=64, height=48, dtype="float32", block_w=16, block_h=12)
+    tiles = tiles_from_array(spark, dem, meta).persist()
+    out_meta = RasterMeta(width=64, height=48, dtype="float64", block_w=16, block_h=12)
+    for nx, ny in [(25, 30), (16, 12), (15, 11), (0, 0), (63, 47), (32, 24)]:
+        got = tiles_to_array(
+            viewshed(tiles, meta, nx=nx, ny=ny, observer_height=3.0), out_meta
+        )
+        want = viewshed_np(dem, nx, ny, observer_height=3.0)
+        assert np.array_equal(got, want), (nx, ny, int((got != want).sum()))
+
+
+def test_viewshed_semantics():
+    """Wall shadows, flat visibility, target height, cell modes."""
+    import numpy as np
+
+    from gdal_spark.raster.viewshed import viewshed_np
+
+    dem = np.zeros((21, 21))
+    dem[10, 14] = 50.0
+    out = viewshed_np(dem, 10, 10, observer_height=2.0)
+    assert out[10, 14] == 255 and (out[10, 15:] == 0).all()
+    assert (out[10, :14] == 255).all()
+    # raising the target height makes shadowed cells visible again
+    out_t = viewshed_np(dem, 10, 10, observer_height=2.0, target_height=1000.0)
+    assert (out_t == 255).all()
+    # flat terrain: all visible in every cell mode
+    for mode in ("edge", "diagonal", "min", "max"):
+        assert (viewshed_np(np.zeros((9, 9)), 4, 4, cell_mode=mode) == 255).all()
