@@ -2108,6 +2108,94 @@ def _make_dem_gate(qname: str, op: str, kw: dict):
     _lazy_oracle(qname, oracle)
 
 
+@_register(
+    "streaming_windowed_counts",
+    # epoch-day tumbling window == floor(epoch/86400); complete-mode
+    # memory sink after availableNow drain: deterministic vs batch SQL
+    "SELECT CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day_bucket, event_type, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS val_e6 "
+    "FROM events GROUP BY 1, 2 ORDER BY day_bucket, event_type",
+)
+def q_streaming_windowed_counts(spark, sf_dir):
+    """Structured Streaming executed FOR REAL in the gate: file-source
+    stream over events.parquet → watermark + 1-day tumbling window +
+    per-type agg → complete-mode memory sink drained with availableNow.
+    Same result contract as the batch SQL oracle (windows are
+    epoch-aligned), so the streaming path gets a full value-hash check
+    instead of the usual rows-only concession."""
+    import time as _time
+
+    import os as _os
+    import tempfile as _tempfile
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file streaming source requires a DIRECTORY; testdata is a flat
+    # read-only dir of single files — stage a symlink dir (no copy)
+    tmpdir = _tempfile.mkdtemp(prefix="stream_events_")
+    link = _os.path.join(tmpdir, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(_os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir)
+    )
+    # parquet TIMESTAMP is NTZ; watermarks need an instant — the
+    # container runs UTC, so the cast is epoch-faithful vs DuckDB EPOCH()
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long"))
+            .cast("long").alias("val_e6"),
+        )
+    )
+    name = f"stream_sink_{int(_time.time() * 1000) % 10_000_000}"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(
+        f"SELECT CAST(floor(unix_timestamp(w.start) / 86400) * 1 AS BIGINT) AS day_bucket, "
+        f"event_type, n, val_e6 FROM {name} ORDER BY day_bucket, event_type"
+    )
+
+
+@_register(
+    "streaming_dedup_count",
+    "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
+)
+def q_streaming_dedup_count(spark, sf_dir):
+    """Streaming exact-dedup (watermarked dropDuplicates — the streaming
+    face of dedup_exact): distinct-user count after the stream drains
+    must equal the batch COUNT(DISTINCT)."""
+    import os as _os
+    import tempfile as _tempfile
+    import time as _time
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmpdir = _tempfile.mkdtemp(prefix="stream_dedup_")
+    link = _os.path.join(tmpdir, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(_os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(tmpdir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["user_id"])
+    name = f"stream_dedup_{int(_time.time() * 1000) % 10_000_000}"
+    q = (
+        deduped.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM {name}")
+
+
 @_register("viewshed_checksum")
 def q_viewshed_checksum(spark, sf_dir):
     """Viewshed (alg/viewshed/viewshed_executor.cpp, Wang 2000
