@@ -220,8 +220,13 @@ def viewshed(
     the anti-diagonal bi+bj = k of each quadrant in parallel; boundary
     rows/cols flow between rounds as slim binary columns — no pixel data
     ever reaches the driver beyond the two center chains."""
-    spark = tiles.sparkSession
     H, W = meta.height, meta.width
+    if not (0 <= nx < W and 0 <= ny < H):
+        raise ValueError(
+            "viewshed v1 requires the observer inside the raster "
+            f"(got ({nx}, {ny}) for {W}x{H}); the reference's outside-"
+            "observer clamping is not implemented"
+        )
     bh, bw = meta.block_h, meta.block_w
     dtype = meta.dtype
     zcalc = _zcalc(cell_mode)

@@ -105,7 +105,13 @@ def test_simplify_keeps_endpoints_and_subset(pts, tol):
     assert all(tuple(p) in in_set for p in out)
 
 
-@given(st.lists(st.tuples(finite, finite), min_size=2, max_size=10),
+# coordinates bounded so k = ceil(len/max_len) stays small: at the
+# `finite` ±1e7 range a 0.5 max_len inserts ~5e7 vertices PER SEGMENT
+# (hours of linspace + 8 GB — this test hung two full-suite runs)
+small = st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False)
+
+
+@given(st.lists(st.tuples(small, small), min_size=2, max_size=10),
        st.floats(min_value=0.5, max_value=1000.0))
 @settings(max_examples=100, deadline=None)
 def test_segmentize_respects_max_len(pts, max_len):
@@ -120,4 +126,17 @@ def test_segmentize_respects_max_len(pts, max_len):
         # coordinates dwarf max_len
         atol = 1e-9 * (1.0 + np.abs(line).max())
         assert (seg <= max_len + atol).all()
+    assert np.array_equal(out[0], line[0]) and np.array_equal(out[-1], line[-1])
+
+
+def test_segmentize_scale_slack_large_coords():
+    """Deterministic stand-in for the former huge-coordinate draws: the
+    interpolated-vertex rounding slack at |coord| ~ 1e7 with a
+    proportionate max_len."""
+    from gdal_spark.geometry import ops
+
+    line = np.array([[-1e7, -1e7], [1e7, 1e7]])
+    out = ops.segmentize_line(line, 1e5)
+    seg = np.sqrt(((out[1:] - out[:-1]) ** 2).sum(axis=1))
+    assert (seg <= 1e5 + 1e-9 * 1e7).all()
     assert np.array_equal(out[0], line[0]) and np.array_equal(out[-1], line[-1])
