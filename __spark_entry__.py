@@ -1986,6 +1986,32 @@ _lazy_oracle("shapefile_poly_read", _oracle_shapefile_poly)
 _lazy_oracle("gpkg_poly_read", _oracle_shapefile_poly)
 
 
+@_register("gpkg_roundtrip")
+def q_gpkg_roundtrip(spark, sf_dir):
+    """GeoPackage WRITE → READ roundtrip (OGC container tables + §2.1.3
+    blobs, sources/gpkg.py write_gpkg): the re-read layer must reproduce
+    the same POLY goldens — WKB payloads byte-identical through the
+    blob wrap/unwrap."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.sources.gpkg import read_gpkg, write_gpkg
+
+    src = read_gpkg(spark, "/root/reference/autotest/ogr/data/gpkg/poly_golden.gpkg")
+    path = _os.path.join(_tempfile.mkdtemp(prefix="gpkg_rt_"), "roundtrip.gpkg")
+    write_gpkg(src.drop("fid"), path, "poly", srs_id=27700, geometry_type="POLYGON")
+    df = read_gpkg(spark, path)
+    return df.select(
+        F.col("EAS_ID").cast("long").alias("eas_id"),
+        "PRFEDEA",
+        F.floor(st_area(F.col("geometry")) + F.lit(0.5)).cast("long").alias("area_m"),
+    ).orderBy("eas_id")
+
+
+_lazy_oracle("gpkg_roundtrip", _oracle_shapefile_poly)
+
+
 _GEOD_POLYS = [
     (1, [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]),
     (2, [(10.0, 45.0), (12.5, 45.0), (11.0, 47.0), (10.0, 45.0)]),

@@ -129,3 +129,120 @@ def read_gpkg(spark, path: str, layer: str | None = None, geom_col: str = "geome
     df = spark.createDataFrame(rows, ", ".join(fields))
     df._gpkg_srs_id = srs_id  # informational; SRS carried at column level
     return df
+
+
+def _gp_blob(wkb_bytes: bytes | None, srs_id: int) -> bytes | None:
+    """Wrap standard WKB in a GeoPackageBinaryHeader (spec §2.1.3):
+    little-endian flags, envelope indicator 1 (minx,maxx,miny,maxy)."""
+    if wkb_bytes is None:
+        return None
+    from gdal_spark.geometry import ops as _ops, wkb as _wkb
+
+    g = _wkb.parse_wkb(bytes(wkb_bytes))
+    minx, miny, maxx, maxy = _ops.envelope(g)
+    head = b"GP" + bytes([0, 0x03]) + int(srs_id).to_bytes(4, "little", signed=True)
+    env = struct.pack("<dddd", minx, maxx, miny, maxy)
+    return head + env + bytes(wkb_bytes)
+
+
+def write_gpkg(
+    df, path: str, layer: str, geom_col: str = "geometry",
+    srs_id: int = 4326, geometry_type: str = "GEOMETRY",
+) -> None:
+    """Write a DataFrame with a WKB geometry column as a GeoPackage
+    feature layer (OGC spec container tables + §2.1.3 blobs).
+
+    Driver-side like the reader (SQLite is a single-writer local file);
+    intended for fixture-scale exports — the 100 TB sink is parquet.
+    Rows collect in a deterministic order (all non-geometry columns)."""
+    rows = df.collect()
+    names = df.columns
+    gi = names.index(geom_col)
+    other = [n for n in names if n != geom_col]
+    idx = [names.index(n) for n in other]
+    rows = sorted(rows, key=lambda r: tuple(str(r[i]) for i in idx))
+
+    def decl(n):
+        t = dict(df.dtypes)[n]
+        if t in ("bigint", "int", "smallint", "tinyint"):
+            return "INTEGER"
+        if t in ("double", "float"):
+            return "REAL"
+        if t == "binary":
+            return "BLOB"
+        if t == "boolean":
+            return "BOOLEAN"
+        return "TEXT"
+
+    con = sqlite3.connect(path)
+    try:
+        cur = con.cursor()
+        cur.execute("PRAGMA application_id = 0x47504B47")  # 'GPKG'
+        cur.execute("PRAGMA user_version = 10300")
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_spatial_ref_sys ("
+            "srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, "
+            "organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, "
+            "definition TEXT NOT NULL, description TEXT)"
+        )
+        for sid, name in ((-1, "Undefined cartesian"), (0, "Undefined geographic"),
+                          (int(srs_id), f"EPSG:{srs_id}")):
+            cur.execute(
+                "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+                (name, sid, "EPSG" if sid > 0 else "NONE", max(sid, 0), "undefined", None),
+            )
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_contents ("
+            "table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL, "
+            "identifier TEXT UNIQUE, description TEXT DEFAULT '', "
+            "last_change DATETIME, min_x DOUBLE, min_y DOUBLE, "
+            "max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"
+        )
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_geometry_columns ("
+            "table_name TEXT NOT NULL, column_name TEXT NOT NULL, "
+            "geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, "
+            "z TINYINT NOT NULL, m TINYINT NOT NULL, "
+            "CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))"
+        )
+        cols_sql = ", ".join(
+            [f'"{geom_col}" {geometry_type}'] + [f'"{n}" {decl(n)}' for n in other]
+        )
+        cur.execute(f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT, {cols_sql})')
+        ins = (
+            f'INSERT INTO "{layer}" ("{geom_col}", '
+            + ", ".join(f'"{n}"' for n in other)
+            + ") VALUES ("
+            + ", ".join("?" * (1 + len(other)))
+            + ")"
+        )
+        ext = [None, None, None, None]
+        from gdal_spark.geometry import ops as _ops, wkb as _wkb
+
+        for r in rows:
+            b = r[gi]
+            blob = _gp_blob(bytes(b), srs_id) if b is not None else None
+            if b is not None:
+                e = _ops.envelope(_wkb.parse_wkb(bytes(b)))
+                ext[0] = e[0] if ext[0] is None else min(ext[0], e[0])
+                ext[1] = e[1] if ext[1] is None else min(ext[1], e[1])
+                ext[2] = e[2] if ext[2] is None else max(ext[2], e[2])
+                ext[3] = e[3] if ext[3] is None else max(ext[3], e[3])
+            vals = [blob] + [
+                bytes(r[i]) if isinstance(r[i], (bytes, bytearray)) else r[i]
+                for i in idx
+            ]
+            cur.execute(ins, vals)
+        cur.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, identifier, "
+            "last_change, min_x, min_y, max_x, max_y, srs_id) "
+            "VALUES (?, 'features', ?, '2000-01-01T00:00:00.000Z', ?, ?, ?, ?, ?)",
+            (layer, layer, ext[0], ext[1], ext[2], ext[3], int(srs_id)),
+        )
+        cur.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?, ?, ?, ?, 0, 0)",
+            (layer, geom_col, geometry_type, int(srs_id)),
+        )
+        con.commit()
+    finally:
+        con.close()

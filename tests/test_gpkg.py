@@ -54,3 +54,18 @@ def test_blob_parse_edges():
     assert parse_gpkg_blob(None) is None
     with pytest.raises(ValueError):
         parse_gpkg_blob(b"NOPE0000")
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    """write_gpkg → read_gpkg: WKB byte-identical, schema/srs preserved."""
+    src = read_gpkg(spark, GPKG)
+    path = str(tmp_path / "rt.gpkg")
+    from gdal_spark.sources.gpkg import write_gpkg
+
+    write_gpkg(src.drop("fid"), path, "poly", srs_id=27700, geometry_type="POLYGON")
+    back = read_gpkg(spark, path)
+    a = sorted((r.EAS_ID, bytes(r.geometry)) for r in src.select("EAS_ID", "geometry").collect())
+    b = sorted((r.EAS_ID, bytes(r.geometry)) for r in back.select("EAS_ID", "geometry").collect())
+    assert a == b
+    assert back._gpkg_srs_id == 27700
+    assert gpkg_layers(path) == ["poly"]
