@@ -31,6 +31,17 @@ neighbor's top edge row, and the diagonal corner cell. Wavefront depth =
 blocks_x + blocks_y per quadrant (the algorithm's inherent critical
 path); parallelism = anti-diagonal width × 4 quadrants. No driver-side
 pixel data — only per-round boundary rows/cols move between stages.
+
+Cost model (measured): each wavefront round is one Spark stage, so wall
+time ≈ rounds × stage latency + cells / sweep throughput. At fixture
+scale stage latency dominates (8×6 blocks → 14 rounds ≈ 40 s vs 0.3 s
+single-node for the same cells); the distributed form wins when
+per-round cell work ≫ stage latency — i.e. big blocks. Operationally:
+pick block size ≈ raster_diameter / (acceptable rounds), and bound the
+viewshed radius (the usual ``gdal_viewshed -md`` usage) so rounds =
+radius / block_span. An unbounded whole-raster viewshed has an
+O(diameter) sequential critical path in ANY implementation — the
+reference scans line-by-line the same way.
 """
 
 from __future__ import annotations
