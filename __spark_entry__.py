@@ -884,6 +884,99 @@ def _oracle_multimodal() -> str:
 _lazy_oracle("multimodal_image_features", _oracle_multimodal)
 
 
+@_register("multimodal_resize_hash")
+def q_multimodal_resize_hash(spark, sf_dir):
+    """Image resize plumbing (nearest-neighbor over the gated decode):
+    per-image xxhash64 of the resized pixel buffer vs a full Python
+    re-derivation — exercises batch shape, dims columns, and byte
+    layout end-to-end."""
+    from gdal_spark.multimodal import resize_images, synth_media
+
+    media = synth_media(spark, 48, kind="image")
+    out = resize_images(media, 16, 16)
+    return out.select(
+        "media_id", F.xxhash64(F.col("pixels")).alias("px_hash")
+    ).orderBy("media_id")
+
+
+def _oracle_multimodal_resize() -> str:
+    import hashlib
+    import struct
+
+    from gdal_spark.multimodal import fake_decode_image
+    from gdal_spark.text.xxh import xxh64
+
+    def xl(v: int) -> int:
+        u = xxh64(struct.pack("<q", v), 42)
+        s = u - (1 << 64) if u >= (1 << 63) else u
+        return s % 64
+
+    rows = []
+    for i in range(48):
+        data = hashlib.sha256(f"image{i}".encode()).hexdigest().encode()
+        w = xl(i) + 32
+        h = xl(i + 1) + 32
+        img = fake_decode_image(data, w, h, 3)
+        ys = (np.arange(16) * img.shape[0] // 16).astype(int)
+        xs = (np.arange(16) * img.shape[1] // 16).astype(int)
+        out = img[np.ix_(ys, xs)]
+        u = xxh64(out.tobytes(), 42)
+        rows.append((i, u - (1 << 64) if u >= (1 << 63) else u))
+    vals = ", ".join(f"({i}, {hh})" for i, hh in rows)
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(px_hash AS BIGINT) AS px_hash "
+        f"FROM (VALUES {vals}) t(media_id, px_hash) ORDER BY media_id"
+    )
+
+
+_lazy_oracle("multimodal_resize_hash", _oracle_multimodal_resize)
+
+
+@_register("multimodal_frame_sample")
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: per-video sampled-frame count and
+    first/last index (stride column math over the synthetic n_frames)."""
+    from gdal_spark.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, 32, kind="video")
+    out = sample_frames(media, every_k=7)
+    return (
+        out.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.min("frame_idx").cast("long").alias("first_idx"),
+            F.max("frame_idx").cast("long").alias("last_idx"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def _oracle_multimodal_frames() -> str:
+    import struct
+
+    from gdal_spark.text.xxh import xxh64
+
+    def xl(v: int, m: int) -> int:
+        u = xxh64(struct.pack("<q", v), 42)
+        s = u - (1 << 64) if u >= (1 << 63) else u
+        return s % m
+
+    rows = []
+    for i in range(32):
+        n_frames = xl(i + 2, 120) + 8
+        idxs = list(range(0, n_frames, 7))
+        rows.append((i, len(idxs), idxs[0], idxs[-1]))
+    vals = ", ".join(f"({a}, {b}, {c}, {d})" for a, b, c, d in rows)
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(n_sampled AS BIGINT) AS n_sampled, "
+        "CAST(first_idx AS BIGINT) AS first_idx, CAST(last_idx AS BIGINT) AS last_idx "
+        f"FROM (VALUES {vals}) t(media_id, n_sampled, first_idx, last_idx) ORDER BY media_id"
+    )
+
+
+_lazy_oracle("multimodal_frame_sample", _oracle_multimodal_frames)
+
+
 def _synth_meta():
     from gdal_spark.raster.model import RasterMeta
 
