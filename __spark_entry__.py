@@ -977,6 +977,40 @@ def _oracle_multimodal_frames() -> str:
 _lazy_oracle("multimodal_frame_sample", _oracle_multimodal_frames)
 
 
+@_register("multimodal_audio_features")
+def q_multimodal_audio_features(spark, sf_dir):
+    """Audio-column plumbing (gated PCM decode → RMS / zero-crossings):
+    the audio leg of the multimodal surface."""
+    from gdal_spark.multimodal import audio_features, synth_media
+
+    media = synth_media(spark, 40, kind="audio")
+    return audio_features(media).orderBy("media_id")
+
+
+def _oracle_multimodal_audio() -> str:
+    import hashlib
+
+    from gdal_spark.multimodal import fake_decode_audio
+
+    rows = []
+    for i in range(40):
+        data = hashlib.sha256(f"audio{i}".encode()).hexdigest().encode()
+        pcm = fake_decode_audio(data, 16000)
+        x = pcm.astype(np.float64)
+        rms = float(np.sqrt((x * x).mean()))
+        zc = int((np.signbit(x[1:]) != np.signbit(x[:-1])).sum())
+        rows.append((i, len(pcm), int(np.floor(rms * 1e6 + 0.5)), zc))
+    vals = ", ".join(f"({a}, {b}, {c}, {d})" for a, b, c, d in rows)
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(n_samples AS BIGINT) AS n_samples, "
+        "CAST(rms_e6 AS BIGINT) AS rms_e6, CAST(zero_crossings AS BIGINT) AS zero_crossings "
+        f"FROM (VALUES {vals}) t(media_id, n_samples, rms_e6, zero_crossings) ORDER BY media_id"
+    )
+
+
+_lazy_oracle("multimodal_audio_features", _oracle_multimodal_audio)
+
+
 def _synth_meta():
     from gdal_spark.raster.model import RasterMeta
 

@@ -144,3 +144,42 @@ def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
     return v.select(
         "media_id", F.explode(idx).alias("frame_idx"), "data", "width", "height", "channels"
     )
+
+
+def fake_decode_audio(data: bytes, sample_rate: int, n_seconds: float = 1.0) -> np.ndarray:
+    """Deterministic stand-in PCM decode: int16 samples seeded from the
+    payload bytes (same contract as fake_decode_image)."""
+    rng = np.random.default_rng(_seed_from_bytes(data))
+    n = int(sample_rate * n_seconds)
+    return rng.integers(-32768, 32768, n, dtype=np.int16)
+
+
+def audio_features(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """Per-clip audio features over the gated decode: duration samples,
+    RMS (e6-integerized) and zero-crossing count — the audio analogue of
+    image_features (Arrow batches, one decode per row, vectorized
+    stats)."""
+    if decode == "real":  # pragma: no cover - codecs absent in container
+        raise NotImplementedError(
+            "real audio decode needs an audio codec library, not installed; "
+            "use decode='fake' for plumbing tests"
+        )
+
+    def feat(iterator):
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                pcm = fake_decode_audio(bytes(r["data"]), int(r.sample_rate))
+                x = pcm.astype(np.float64)
+                rms = float(np.sqrt((x * x).mean()))
+                zc = int((np.signbit(x[1:]) != np.signbit(x[:-1])).sum())
+                rows.append(
+                    (int(r.media_id), len(pcm), int(np.floor(rms * 1e6 + 0.5)), zc)
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "rms_e6", "zero_crossings"]
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        feat, "media_id LONG, n_samples LONG, rms_e6 LONG, zero_crossings LONG"
+    )
