@@ -143,6 +143,58 @@ class _P:
                 if self.take() == ")":
                     break
             return ("GeometryCollection", gs)
+        # curved types — linearized on ingest (OGR_G_GetLinearGeometry
+        # semantics, same 4° arc step as the WKB path)
+        if name == "CIRCULARSTRING":
+            from gdal_spark.geometry.wkb import linearize_circularstring
+
+            return ("LineString", linearize_circularstring(self.coords()))
+        if name == "COMPOUNDCURVE":
+            from gdal_spark.geometry.wkb import _join_curve_parts
+
+            self.take("(")
+            parts = []
+            while True:
+                if self.peek() == "(":  # bare coords = LineString segment
+                    parts.append(self.coords())
+                else:
+                    parts.append(np.asarray(self.geom()[1]))
+                if self.take() == ")":
+                    break
+            return ("LineString", _join_curve_parts(parts))
+        if name == "CURVEPOLYGON":
+            self.take("(")
+            rings = []
+            while True:
+                if self.peek() == "(":
+                    rings.append(self.coords())
+                else:
+                    rings.append(np.asarray(self.geom()[1]))
+                if self.take() == ")":
+                    break
+            return ("Polygon", rings)
+        if name == "MULTICURVE":
+            self.take("(")
+            ls = []
+            while True:
+                if self.peek() == "(":
+                    ls.append(("LineString", self.coords()))
+                else:
+                    ls.append(self.geom())
+                if self.take() == ")":
+                    break
+            return ("MultiLineString", ls)
+        if name == "MULTISURFACE":
+            self.take("(")
+            ps = []
+            while True:
+                if self.peek() == "(":
+                    ps.append(("Polygon", self._ring_list()))
+                else:
+                    ps.append(self.geom())
+                if self.take() == ")":
+                    break
+            return ("MultiPolygon", ps)
         raise ValueError(f"unknown WKT type {name}")
 
     def _ring_list(self):

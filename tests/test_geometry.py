@@ -376,3 +376,32 @@ def test_wkb_curved_types_linearize():
     # MultiCurve → MultiLineString
     mc = struct.pack("<BII", 1, 11, 1) + cs
     assert wkb.parse_wkb(mc)[0] == "MultiLineString"
+
+
+def test_wkt_curved_types_linearize():
+    import numpy as np
+    from gdal_spark.geometry import ops, wkt
+
+    name, c = wkt.parse_wkt("CIRCULARSTRING (-1 0, 0 1, 1 0)")
+    assert name == "LineString"
+    assert abs(ops.length(("LineString", c)) - np.pi) < 2e-3
+    # compound: straight + arc
+    name, c = wkt.parse_wkt(
+        "COMPOUNDCURVE ((-2 0, -1 0), CIRCULARSTRING (-1 0, 0 1, 1 0))"
+    )
+    assert name == "LineString"
+    assert abs(ops.length(("LineString", c)) - (1.0 + np.pi)) < 2e-3
+    # curve polygon: full circle
+    name, rings = wkt.parse_wkt(
+        "CURVEPOLYGON (CIRCULARSTRING (-1 0, 0 1, 1 0, 0 -1, -1 0))"
+    )
+    assert name == "Polygon"
+    assert abs(ops.area(("Polygon", rings)) - np.pi) < 3e-3
+    # multicurve / multisurface
+    assert wkt.parse_wkt("MULTICURVE ((0 0, 1 1), CIRCULARSTRING (-1 0, 0 1, 1 0))")[0] == "MultiLineString"
+    ms = wkt.parse_wkt(
+        "MULTISURFACE (((0 0,1 0,1 1,0 1,0 0)), CURVEPOLYGON (CIRCULARSTRING (4 0,5 1,6 0,5 -1,4 0)))"
+    )
+    assert ms[0] == "MultiPolygon" and len(ms[1]) == 2
+    total = sum(ops.area(p) for p in ms[1])
+    assert abs(total - (1.0 + np.pi)) < 3e-3
