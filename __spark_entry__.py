@@ -2378,6 +2378,36 @@ def _oracle_viewshed() -> str:
 _lazy_oracle("viewshed_checksum", _oracle_viewshed)
 
 
+@_register("viewshed_maxdist_checksum")
+def q_viewshed_maxdist_checksum(spark, sf_dir):
+    """Bounded-radius viewshed (gdal_viewshed -md): wavefront rounds
+    scale with radius, not raster size — the practical 100 TB mode."""
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, synth_raster
+    from gdal_spark.raster.viewshed import viewshed
+
+    meta = _terrain_meta()  # gt: 10 m pixels
+    out = viewshed(synth_raster(spark, meta), meta, nx=40, ny=25,
+                   observer_height=5.0, max_dist=250.0, out_of_range=-1.0)
+    out_meta = RasterMeta(width=meta.width, height=meta.height, dtype="float64",
+                          block_w=meta.block_w, block_h=meta.block_h, gt=meta.gt)
+    cs = checksum_df(out, out_meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_viewshed_maxdist() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.viewshed import viewshed_np
+
+    full, meta = _terrain_full_np()
+    img = viewshed_np(full, 40, 25, observer_height=5.0, max_dist=250.0,
+                      out_of_range=-1.0, resx=abs(meta.gt[1]), resy=abs(meta.gt[5]))
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("viewshed_maxdist_checksum", _oracle_viewshed_maxdist)
+
+
 def _rgb_pct_fixture():
     rng = np.random.default_rng(9)
     base = rng.integers(0, 256, (6, 3))

@@ -77,6 +77,8 @@ def _block_sweep(
     h: np.ndarray, u0: int, v0: int,
     left_this_col: np.ndarray, last_row: np.ndarray, corner: float,
     target: float, visible: float, invisible: float, zcalc,
+    r2max: float = np.inf, resx: float = 1.0, resy: float = 1.0,
+    out_of_range: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sweep one quadrant block. Quadrant coordinates: u = |dx| ≥ 1,
     v = |dy| ≥ 1, both increasing away from the observer.
@@ -101,6 +103,12 @@ def _block_sweep(
         this_prev = float(left_this_col[vi])       # updated (u0-1, v)
         for ui in range(U):
             u = u0 + ui
+            if (u * resx) ** 2 + (v * resy) ** 2 > r2max:
+                # out of range — never consulted by in-range cells (the
+                # max-dist disc is star-convex: every dependency of an
+                # in-range cell is closer to the observer)
+                res[vi, ui] = out_of_range
+                continue
             lastv = prev_row[ui]                   # (u, v-1)
             last_diag = prev_corner if ui == 0 else prev_row[ui - 1]
             cell = hh[vi, ui]
@@ -117,17 +125,22 @@ def _block_sweep(
     return res, hh
 
 
-def _line_chain(vals: np.ndarray, target: float, visible: float, invisible: float):
+def _line_chain(vals: np.ndarray, target: float, visible: float, invisible: float,
+                res_unit: float = 1.0, rmax: float = np.inf,
+                out_of_range: float = 0.0):
     """1-D CalcHeightLine chain for the observer row/column: element i is
     distance i+1 from the observer (adjacent cell first). Returns
-    (result, updated)."""
+    (result, updated). Distances past ``rmax`` emit ``out_of_range``."""
     v = vals.astype(np.float64).copy()
     res = np.empty(len(v), dtype=np.float64)
     if len(v) == 0:
         return res, v
-    res[0] = visible  # adjacent cell is always visible
+    res[0] = visible if res_unit <= rmax else out_of_range
     for i in range(1, len(v)):
         d = i + 1
+        if d * res_unit > rmax:  # monotone — everything further is out too
+            res[i:] = out_of_range
+            break
         z = v[i - 1] * d / (d - 1)
         res[i] = invisible if v[i] + target < z else visible
         v[i] = max(v[i], z)
@@ -137,11 +150,16 @@ def _line_chain(vals: np.ndarray, target: float, visible: float, invisible: floa
 def viewshed_np(
     dem: np.ndarray, nx: int, ny: int, observer_height: float = 2.0,
     target_height: float = 0.0, visible: float = 255.0, invisible: float = 0.0,
-    cell_mode: str = "edge",
+    cell_mode: str = "edge", max_dist: float | None = None,
+    out_of_range: float = 0.0, resx: float = 1.0, resy: float = 1.0,
 ) -> np.ndarray:
-    """Single-node oracle: exact reference recurrence (Normal mode)."""
+    """Single-node oracle: exact reference recurrence (Normal mode).
+    ``max_dist`` (geo units via resx/resy) bounds the analysis — the
+    reference's ``-md`` option; cells beyond emit ``out_of_range``."""
     H, W = dem.shape
     zcalc = _zcalc(cell_mode)
+    rmax = np.inf if max_dist is None else float(max_dist)
+    r2max = rmax * rmax if np.isfinite(rmax) else np.inf
     zobs = observer_height + float(dem[ny, nx])
     h = dem.astype(np.float64) - zobs
     res = np.full((H, W), invisible, dtype=np.float64)
@@ -150,15 +168,15 @@ def viewshed_np(
     # first line: two 1-D chains
     left0 = h[ny, :nx][::-1]          # distances 1..nx
     right0 = h[ny, nx + 1:]           # distances 1..W-1-nx
-    rl, ul = _line_chain(left0, target_height, visible, invisible)
-    rr, ur = _line_chain(right0, target_height, visible, invisible)
+    rl, ul = _line_chain(left0, target_height, visible, invisible, abs(resx), rmax, out_of_range)
+    rr, ur = _line_chain(right0, target_height, visible, invisible, abs(resx), rmax, out_of_range)
     res[ny, :nx] = rl[::-1]
     res[ny, nx + 1:] = rr
     # center column: two 1-D chains
     up0 = h[:ny, nx][::-1]
     dn0 = h[ny + 1:, nx]
-    rcu, ucu = _line_chain(up0, target_height, visible, invisible)
-    rcd, ucd = _line_chain(dn0, target_height, visible, invisible)
+    rcu, ucu = _line_chain(up0, target_height, visible, invisible, abs(resy), rmax, out_of_range)
+    rcd, ucd = _line_chain(dn0, target_height, visible, invisible, abs(resy), rmax, out_of_range)
     res[:ny, nx] = rcu[::-1]
     res[ny + 1:, nx] = rcd
 
@@ -172,7 +190,8 @@ def viewshed_np(
         first = (ul if hd < 0 else ur)[: len(cols)]
         center = (ucu if vd < 0 else ucd)[: len(rows)]
         rq, _ = _block_sweep(
-            q, 1, 1, center, first, 0.0, target_height, visible, invisible, zcalc
+            q, 1, 1, center, first, 0.0, target_height, visible, invisible, zcalc,
+            r2max, abs(resx), abs(resy), out_of_range,
         )
         res[np.ix_(rows, cols)] = rq
     return res
@@ -180,7 +199,8 @@ def viewshed_np(
 
 def _center_chains(tiles: DataFrame, meta: RasterMeta, nx: int, ny: int,
                    observer_height: float, target: float, visible: float,
-                   invisible: float, band: int):
+                   invisible: float, band: int, rmax: float = np.inf,
+                   out_of_range: float = 0.0):
     """Collect the observer row and column (two O(W)+O(H) vectors — the
     algorithm's inherent sequential critical path) and run the 1-D
     chains driver-side. Everything 2-D stays distributed."""
@@ -206,10 +226,11 @@ def _center_chains(tiles: DataFrame, meta: RasterMeta, nx: int, ny: int,
     zobs = observer_height + row_vals[nx]
     row_vals = row_vals - zobs
     col_vals = col_vals - zobs
-    rl, ul = _line_chain(row_vals[:nx][::-1], target, visible, invisible)
-    rr, ur = _line_chain(row_vals[nx + 1:], target, visible, invisible)
-    rcu, ucu = _line_chain(col_vals[:ny][::-1], target, visible, invisible)
-    rcd, ucd = _line_chain(col_vals[ny + 1:], target, visible, invisible)
+    rx, ry = abs(meta.gt[1]), abs(meta.gt[5])
+    rl, ul = _line_chain(row_vals[:nx][::-1], target, visible, invisible, rx, rmax, out_of_range)
+    rr, ur = _line_chain(row_vals[nx + 1:], target, visible, invisible, rx, rmax, out_of_range)
+    rcu, ucu = _line_chain(col_vals[:ny][::-1], target, visible, invisible, ry, rmax, out_of_range)
+    rcd, ucd = _line_chain(col_vals[ny + 1:], target, visible, invisible, ry, rmax, out_of_range)
     return zobs, (rl, rr, rcu, rcd), {"L": ul, "R": ur, "U": ucu, "D": ucd}
 
 
@@ -224,6 +245,7 @@ def viewshed(
     observer_height: float = 2.0, target_height: float = 0.0,
     visible: float = 255.0, invisible: float = 0.0,
     cell_mode: str = "edge", band: int = 1,
+    max_dist: float | None = None, out_of_range: float = 0.0,
 ) -> DataFrame:
     """Distributed viewshed → float64 tiles (visible/invisible values).
 
@@ -241,8 +263,12 @@ def viewshed(
     bh, bw = meta.block_h, meta.block_w
     dtype = meta.dtype
     zcalc = _zcalc(cell_mode)
+    resx, resy = abs(meta.gt[1]), abs(meta.gt[5])
+    rmax = np.inf if max_dist is None else float(max_dist)
+    r2max = rmax * rmax if np.isfinite(rmax) else np.inf
     zobs, (rl, rr, rcu, rcd), chains = _center_chains(
-        tiles, meta, nx, ny, observer_height, target_height, visible, invisible, band
+        tiles, meta, nx, ny, observer_height, target_height, visible, invisible,
+        band, rmax, out_of_range,
     )
 
     # quadrant geometry: quad id -> (vd, hd)
@@ -285,6 +311,11 @@ def viewshed(
                         sub = sub[::-1, :]
                     u0 = (cx0 - nx) if hd == 1 else (nx - cx1)
                     v0 = (cy0 - ny) if vd == 1 else (ny - cy1)
+                    # bounded-radius pruning: skip blocks whose NEAREST
+                    # cell is already outside max_dist (rounds then scale
+                    # with radius, not raster size)
+                    if (u0 * resx) ** 2 + (v0 * resy) ** 2 > r2max:
+                        continue
                     out.append(
                         ("DEM", quad, int(bi), int(bj), int(u0), int(v0),
                          sub.shape[0], sub.shape[1],
@@ -332,7 +363,8 @@ def viewshed(
         else:
             corner = float(np.frombuffer(d["C"].data, dtype=np.float64)[0])
         res, hh = _block_sweep(
-            h, u0, v0, left, last, corner, target_height, visible, invisible, zcalc
+            h, u0, v0, left, last, corner, target_height, visible, invisible, zcalc,
+            r2max, resx, resy, out_of_range,
         )
         rows = [
             ("RES", quad, bi, bj, u0, v0, V, U, res.tobytes()),
@@ -389,6 +421,11 @@ def viewshed(
         hgt = min(bh, H - y0)
         wid = min(bw, W - x0)
         arr = np.full((hgt, wid), invisible, dtype=np.float64)
+        if np.isfinite(r2max):
+            # default fill for cells outside max_dist (covers pruned blocks)
+            gx = (np.arange(x0, x0 + wid) - nx) * resx
+            gy = (np.arange(y0, y0 + hgt) - ny) * resy
+            arr[(gy[:, None] ** 2 + gx[None, :] ** 2) > r2max] = out_of_range
         for r in pdf.itertuples():
             if r.data is None:
                 continue

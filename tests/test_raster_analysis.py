@@ -264,3 +264,27 @@ def test_viewshed_semantics():
     # flat terrain: all visible in every cell mode
     for mode in ("edge", "diagonal", "min", "max"):
         assert (viewshed_np(np.zeros((9, 9)), 4, 4, cell_mode=mode) == 255).all()
+
+
+def test_viewshed_max_dist_bounded(spark):
+    """-md bounded viewshed (anisotropic resolution): exact vs oracle,
+    out-of-range fill correct, pruned blocks still emit tiles."""
+    import numpy as np
+
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array, tiles_to_array
+    from gdal_spark.raster.viewshed import viewshed, viewshed_np
+
+    rng = np.random.default_rng(3)
+    dem = rng.uniform(0, 15, (48, 64)).astype(np.float32)
+    meta = RasterMeta(width=64, height=48, dtype="float32", block_w=16, block_h=12,
+                      gt=(0.0, 2.0, 0.0, 0.0, 0.0, -3.0))
+    tiles = tiles_from_array(spark, dem, meta).persist()
+    om = RasterMeta(width=64, height=48, dtype="float64", block_w=16, block_h=12)
+    for nx, ny, md in [(30, 20, 40.0), (5, 5, 25.0)]:
+        got = tiles_to_array(
+            viewshed(tiles, meta, nx=nx, ny=ny, observer_height=3.0,
+                     max_dist=md, out_of_range=-1.0), om)
+        want = viewshed_np(dem, nx, ny, observer_height=3.0, max_dist=md,
+                           out_of_range=-1.0, resx=2.0, resy=3.0)
+        assert np.array_equal(got, want), (nx, ny)
+        assert (want == -1.0).any()  # the bound actually engaged
