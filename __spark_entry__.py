@@ -2408,6 +2408,89 @@ def _oracle_viewshed_maxdist() -> str:
 _lazy_oracle("viewshed_maxdist_checksum", _oracle_viewshed_maxdist)
 
 
+def _gcp_fixture():
+    from gdal_spark.raster.model import RasterMeta
+
+    smeta = RasterMeta(width=48, height=40, dtype="float32", block_w=16, block_h=10)
+    px = np.array([0, 47, 0, 47, 24, 10, 35], dtype=np.float64)
+    ln = np.array([0, 0, 39, 39, 20, 30, 8], dtype=np.float64)
+    gx = 1000.0 + 5.0 * px + 0.01 * px * ln
+    gy = 2000.0 - 4.0 * ln + 0.02 * px * px
+    gcps = list(zip(px, ln, gx, gy))
+    dmeta = RasterMeta(width=50, height=42, dtype="float64", block_w=25, block_h=21,
+                       gt=(1000.0, 5.0, 0.0, 2030.0, 0.0, -4.0))
+    return smeta, dmeta, gcps
+
+
+@_register("warp_gcp_checksum")
+def q_warp_gcp_checksum(spark, sf_dir):
+    """GCP polynomial warp (GDALCreateGCPTransformer, alg/gdal_crs.cpp:
+    order-2 CRS_georef fit both directions) through the generic
+    non-affine distributed warp."""
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.gcp import warp_gcp
+    from gdal_spark.raster.model import synth_raster
+
+    smeta, dmeta, gcps = _gcp_fixture()
+    out = warp_gcp(synth_raster(spark, smeta), smeta, dmeta, gcps, order=2,
+                   alg="bilinear", init=-1.0)
+    cs = checksum_df(out, dmeta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_warp_gcp() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.gcp import warp_gcp_np
+    from gdal_spark.raster.model import synth_block_np
+
+    smeta, dmeta, gcps = _gcp_fixture()
+    full = np.zeros((smeta.height, smeta.width), dtype=smeta.dtype)
+    for by in range(smeta.blocks_y):
+        for bx in range(smeta.blocks_x):
+            h, w = smeta.block_shape(bx, by)
+            full[by * smeta.block_h : by * smeta.block_h + h,
+                 bx * smeta.block_w : bx * smeta.block_w + w] = synth_block_np(bx, by, h, w, smeta)
+    img = warp_gcp_np(full, smeta, dmeta, gcps, order=2, alg="bilinear", init=-1.0)
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("warp_gcp_checksum", _oracle_warp_gcp)
+
+
+@_register("warp_tps_checksum")
+def q_warp_tps_checksum(spark, sf_dir):
+    """Thin-plate-spline warp (gdalwarp -tps; alg/thinplatespline.cpp
+    d²·ln(d²) kernel, exact through every GCP)."""
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.gcp import warp_tps
+    from gdal_spark.raster.model import synth_raster
+
+    smeta, dmeta, gcps = _gcp_fixture()
+    out = warp_tps(synth_raster(spark, smeta), smeta, dmeta, gcps,
+                   alg="bilinear", init=-1.0)
+    cs = checksum_df(out, dmeta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_warp_tps() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.gcp import warp_tps_np
+    from gdal_spark.raster.model import synth_block_np
+
+    smeta, dmeta, gcps = _gcp_fixture()
+    full = np.zeros((smeta.height, smeta.width), dtype=smeta.dtype)
+    for by in range(smeta.blocks_y):
+        for bx in range(smeta.blocks_x):
+            h, w = smeta.block_shape(bx, by)
+            full[by * smeta.block_h : by * smeta.block_h + h,
+                 bx * smeta.block_w : bx * smeta.block_w + w] = synth_block_np(bx, by, h, w, smeta)
+    img = warp_tps_np(full, smeta, dmeta, gcps, alg="bilinear", init=-1.0)
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("warp_tps_checksum", _oracle_warp_tps)
+
+
 def _rgb_pct_fixture():
     rng = np.random.default_rng(9)
     base = rng.integers(0, 256, (6, 3))

@@ -516,16 +516,33 @@ def warp_crs(
     band: int = 1,
 ) -> DataFrame:
     """gdalwarp with reprojection: dst px → dst geo → (dst_crs→src_crs via
-    geometry/crs.py Krüger transforms) → src geo → src px.
+    geometry/crs.py Krüger transforms) → src geo → src px."""
+    from gdal_spark.geometry import crs as _crs
+
+    tf = _crs.transformer(dst_crs, src_crs)
+    return warp_with_transform(src_tiles, src_meta, dst_meta, tf, alg, init, band)
+
+
+def warp_with_transform(
+    src_tiles: DataFrame,
+    src_meta: RasterMeta,
+    dst_meta: RasterMeta,
+    tf,
+    alg: str = "near",
+    init: float = 0.0,
+    band: int = 1,
+) -> DataFrame:
+    """Generic non-affine warp: ``tf`` is any vectorized geo→geo mapping
+    (dst CRS geo → src CRS geo) slotted between the two geotransforms —
+    the GDALGenImgProjTransformer composition. GCP-georeferenced sources
+    use an identity src geotransform with tf mapping straight to source
+    pixel space.
 
     The dst-block → src-block need list cannot be closed-form column math
     (the composed transform is not affine), so each dst block's source
     window is bounded by transforming a boundary sample grid inside a
     mapInPandas over the *block list* (rows = blocks, still distributed,
     never pixel data on the driver)."""
-    from gdal_spark.geometry import crs as _crs
-
-    tf = _crs.transformer(dst_crs, src_crs)
     if alg in REDUCE_ALGS:
         halo = 2
     else:
@@ -603,6 +620,18 @@ def warp_crs_np(
     from gdal_spark.geometry import crs as _crs
 
     tf = _crs.transformer(dst_crs, src_crs)
+    return warp_with_transform_np(src, src_meta, dst_meta, tf, alg, init)
+
+
+def warp_with_transform_np(
+    src: np.ndarray,
+    src_meta: RasterMeta,
+    dst_meta: RasterMeta,
+    tf,
+    alg: str = "near",
+    init: float = 0.0,
+) -> np.ndarray:
+    """Single-node oracle for warp_with_transform."""
     to_src = _make_to_src_px(dst_meta, src_meta, tf)
     h, w = dst_meta.height, dst_meta.width
     if alg in REDUCE_ALGS:

@@ -157,3 +157,46 @@ def test_warp_sum_preserving(spark, dst_size):
                      gt=(meta.gt[0], sx, 0.0, meta.gt[3], 0.0, sy))
     out = warp_affine_np(arr.astype(np.float64), meta, dst, alg="sum", init=0.0)
     assert abs(out.sum() - float(arr.sum())) < 1e-6 * arr.sum()
+
+
+def test_warp_gcp_and_tps_match_oracle(spark):
+    """GCP polynomial (orders 1-3) and TPS warps: distributed ==
+    single-node oracle; order-1 on an affine GCP set recovers the exact
+    affine; TPS interpolates exactly through every control point."""
+    import numpy as np
+
+    from gdal_spark.raster.gcp import (
+        gcp_fit, gcp_residuals, tps_fit, tps_transform,
+        warp_gcp, warp_gcp_np, warp_tps, warp_tps_np,
+    )
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array, tiles_to_array
+
+    rng = np.random.default_rng(6)
+    src = rng.uniform(0, 100, (40, 48)).astype(np.float32)
+    smeta = RasterMeta(width=48, height=40, dtype="float32", block_w=16, block_h=10)
+    px = np.array([0, 47, 0, 47, 24, 10, 35], float)
+    ln = np.array([0, 0, 39, 39, 20, 30, 8], float)
+    gx = 1000 + 5 * px + 0.01 * px * ln
+    gy = 2000 - 4 * ln + 0.02 * px * px
+    gcps = list(zip(px, ln, gx, gy))
+    dmeta = RasterMeta(width=50, height=42, dtype="float64", block_w=25, block_h=21,
+                       gt=(1000.0, 5.0, 0.0, 2030.0, 0.0, -4.0))
+    tiles = tiles_from_array(spark, src, smeta).persist()
+    for warp_fn, np_fn, kw in [
+        (warp_gcp, warp_gcp_np, {"order": 2}),
+        (warp_tps, warp_tps_np, {}),
+    ]:
+        got = tiles_to_array(
+            warp_fn(tiles, smeta, dmeta, gcps, alg="bilinear", init=-1.0, **kw), dmeta)
+        want = np_fn(src, smeta, dmeta, gcps, alg="bilinear", init=-1.0, **kw)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    # order-1 affine recovery
+    affine = [(0, 0, 100, 500), (10, 0, 120, 500), (0, 10, 100, 470), (10, 10, 120, 470)]
+    fit = gcp_fit(affine, order=1)
+    assert gcp_residuals(affine, fit).max() < 1e-9
+    # TPS exactness at control points
+    pts = np.array([[0, 0], [10, 0], [0, 10], [10, 10], [5, 6]], float)
+    vals = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0], [2.5, 9.0]])
+    tfit = tps_fit(pts, vals)
+    tx, ty = tps_transform(pts[:, 0], pts[:, 1], tfit)
+    assert np.allclose(np.column_stack([tx, ty]), vals, atol=1e-9)
