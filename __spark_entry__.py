@@ -761,6 +761,38 @@ def _oracle_embedding_cosine_lsh() -> str:
 _lazy_oracle("dedup_embedding_cosine_lsh", _oracle_embedding_cosine_lsh)
 
 
+@_register("dedup_cluster_assign")
+def q_dedup_cluster_assign(spark, sf_dir):
+    """Near-dup CLUSTERING (keep-one-per-cluster dedup): connected
+    components over the LSH-bucketed embedding-cosine pair graph via
+    distributed min-label propagation; cluster id = canonical minimum
+    doc id."""
+    from gdal_spark.operators.similarity import cosine_dedup_pairs
+    from gdal_spark.text.dedup import dedup_clusters
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_dedup_pairs(e, threshold=0.2, n_planes=10, probe_flips=2, dim=64)
+    out = dedup_clusters(pairs, ids=e.select("vec_id"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    ).orderBy("doc_id")
+
+
+def _oracle_dedup_clusters() -> str:
+    from gdal_spark.text import ref_impl
+
+    emb = ref_impl.load_embeddings()
+    pairs = ref_impl.lsh_cosine_pairs_ref(emb, threshold=0.2, n_planes=10, probe_flips=2)
+    rows = ref_impl.dedup_clusters_ref([i for i, _ in emb], pairs)
+    return ref_impl.values_sql(
+        rows, ["doc_id", "cluster_id"], ["BIGINT", "BIGINT"], "doc_id"
+    )
+
+
+_lazy_oracle("dedup_cluster_assign", _oracle_dedup_clusters)
+
+
 @_register("ann_lsh_bucketed")
 def q_ann_lsh_bucketed(spark, sf_dir):
     from gdal_spark.operators.similarity import lsh_bucketed_topk

@@ -353,3 +353,65 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame, ids: DataFrame | None = None,
+    id1: str = "id1", id2: str = "id2", id_col: str = "doc_id",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Near-duplicate CLUSTERING: connected components over the dup-pair
+    graph → (doc_id, cluster_id) with cluster_id = the component's
+    minimum doc id (the canonical "keep" document — standard
+    keep-one-per-cluster dedup).
+
+    Distributed min-label propagation WITH POINTER DOUBLING: each round
+    takes the neighbor minimum and then jumps labels through labels
+    (l(v) ← l(l(v))), so convergence is O(log diameter) rounds even for
+    chain-shaped components — the standard Hash-Min/pointer-jumping CC
+    algorithm. Each round eagerly localCheckpoints the (tiny) label
+    table to keep the lineage flat; the per-round driver action is one
+    bounded existence check.
+
+    ``ids``: optional one-column DataFrame of ALL doc ids (isolated
+    documents then appear as singleton clusters); defaults to the ids
+    present in ``pairs``."""
+    e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
+    if ids is None:
+        nodes = edges.select(F.col("a").alias("id")).distinct()
+    else:
+        nodes = ids.select(F.col(ids.columns[0]).alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    for _ in range(max_rounds):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a").agg(F.min("label").alias("nlabel"))
+        )
+        stepped = (
+            labels.join(neigh, labels["id"] == neigh["a"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+        # pointer jump: follow the label chain one hop (label of label)
+        lx, ly = stepped.alias("x"), stepped.alias("y")
+        jumped = (
+            lx.join(ly, F.col("x.label") == F.col("y.id"), "left")
+            .select(
+                F.col("x.id").alias("id"),
+                F.least(
+                    F.col("x.label"), F.coalesce(F.col("y.label"), F.col("x.label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # eager + flat lineage (label table is tiny)
+        )
+        changed = (
+            jumped.alias("n").join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

@@ -346,3 +346,24 @@ def ivf_topk_ref(
         for rank, (ce6, vid) in enumerate(scored[:k], 1):
             out.append((qid, vid, ce6, rank))
     return out
+
+
+def dedup_clusters_ref(ids, pairs) -> list[tuple[int, int]]:
+    """(doc_id, cluster_id = min id in component) via union-find — the
+    independent oracle for text.dedup.dedup_clusters."""
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, *_ in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return sorted((i, find(i)) for i in parent)

@@ -189,3 +189,22 @@ def test_simhash_blocking_recall_complete(spark):
                 if ham <= mh:
                     want[(i, j)] = ham
         assert got == want, f"max_hamming={mh}"
+
+
+def test_dedup_clusters_components(spark):
+    """Pointer-doubling connected components: chains, merged stars,
+    singletons; cluster id = component minimum."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.text.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (20, 21)],
+        "id1 BIGINT, id2 BIGINT",
+    )
+    ids = spark.range(30).select(F.col("id"))
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, ids=ids).collect()}
+    assert out[1] == out[2] == out[3] == out[4] == 1
+    assert out[10] == out[11] == out[12] == 10
+    assert out[20] == out[21] == 20
+    assert out[5] == 5 and out[29] == 29  # singletons keep their own id
