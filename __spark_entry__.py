@@ -2440,6 +2440,54 @@ def _oracle_viewshed_maxdist() -> str:
 _lazy_oracle("viewshed_maxdist_checksum", _oracle_viewshed_maxdist)
 
 
+@_register("mosaic_checksum")
+def q_mosaic_checksum(spark, sf_dir):
+    """Mosaic/merge (gdal_merge / gdal raster mosaic): two overlapping
+    synthetic rasters on different grids composited later-wins onto a
+    third grid, src_nodata masked, one groupBy(block) composite."""
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, synth_raster
+    from gdal_spark.raster.mosaic import mosaic
+
+    ma = RasterMeta(width=32, height=24, dtype="float32", block_w=16, block_h=12,
+                    gt=(0.0, 1.0, 0.0, 24.0, 0.0, -1.0))
+    mb = RasterMeta(width=20, height=20, dtype="uint8", block_w=10, block_h=10,
+                    gt=(20.0, 1.0, 0.0, 18.0, 0.0, -1.0))
+    dmeta = RasterMeta(width=48, height=30, dtype="float64", block_w=16, block_h=15,
+                       gt=(-2.0, 1.0, 0.0, 26.0, 0.0, -1.0))
+    ta, tb = synth_raster(spark, ma), synth_raster(spark, mb)
+    out = mosaic([(ta, ma), (tb, mb)], dmeta, alg="near", init=-1.0)
+    cs = checksum_df(out, dmeta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_mosaic() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.model import RasterMeta, synth_block_np
+    from gdal_spark.raster.mosaic import mosaic_np
+
+    def full_of(meta):
+        out = np.zeros((meta.height, meta.width), dtype=meta.dtype)
+        for by in range(meta.blocks_y):
+            for bx in range(meta.blocks_x):
+                h, w = meta.block_shape(bx, by)
+                out[by * meta.block_h : by * meta.block_h + h,
+                    bx * meta.block_w : bx * meta.block_w + w] = synth_block_np(bx, by, h, w, meta)
+        return out
+
+    ma = RasterMeta(width=32, height=24, dtype="float32", block_w=16, block_h=12,
+                    gt=(0.0, 1.0, 0.0, 24.0, 0.0, -1.0))
+    mb = RasterMeta(width=20, height=20, dtype="uint8", block_w=10, block_h=10,
+                    gt=(20.0, 1.0, 0.0, 18.0, 0.0, -1.0))
+    dmeta = RasterMeta(width=48, height=30, dtype="float64", block_w=16, block_h=15,
+                       gt=(-2.0, 1.0, 0.0, 26.0, 0.0, -1.0))
+    img = mosaic_np([(full_of(ma), ma), (full_of(mb), mb)], dmeta, alg="near", init=-1.0)
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("mosaic_checksum", _oracle_mosaic)
+
+
 def _gcp_fixture():
     from gdal_spark.raster.model import RasterMeta
 

@@ -490,3 +490,28 @@ def test_rgb_pct_median_cut(spark):
     assert np.array_equal(got, mapped)
     # quantized reconstruction approximates the clustered input
     assert np.abs(pal[mapped].astype(int) - img.astype(int)).mean() < 12.0
+
+
+def test_mosaic_later_wins_and_nodata(spark):
+    """gdal_merge semantics: later inputs overwrite, src_nodata skipped,
+    uncovered pixels keep init; distributed == oracle."""
+    from gdal_spark.raster.mosaic import mosaic, mosaic_np
+
+    rng = np.random.default_rng(8)
+    a = rng.uniform(1, 50, (24, 32)).astype(np.float32)
+    a[2:5, 2:5] = -9.0
+    ma = RasterMeta(width=32, height=24, dtype="float32", block_w=16, block_h=12,
+                    gt=(0.0, 1.0, 0.0, 24.0, 0.0, -1.0))
+    b = rng.uniform(100, 150, (20, 20)).astype(np.float32)
+    mb = RasterMeta(width=20, height=20, dtype="float32", block_w=10, block_h=10,
+                    gt=(20.0, 1.0, 0.0, 18.0, 0.0, -1.0))
+    dmeta = RasterMeta(width=48, height=30, dtype="float64", block_w=16, block_h=15,
+                       gt=(-2.0, 1.0, 0.0, 26.0, 0.0, -1.0))
+    ta, tb = tiles_from_array(spark, a, ma), tiles_from_array(spark, b, mb)
+    got = tiles_to_array(
+        mosaic([(ta, ma), (tb, mb)], dmeta, src_nodata=-9.0, init=-1.0), dmeta)
+    want = mosaic_np([(a, ma), (b, mb)], dmeta, src_nodata=-9.0, init=-1.0)
+    assert np.array_equal(got, want)
+    # order flip changes the overlap (later wins)
+    want_flip = mosaic_np([(b, mb), (a, ma)], dmeta, src_nodata=-9.0, init=-1.0)
+    assert not np.array_equal(want, want_flip)
