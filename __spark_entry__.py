@@ -2440,6 +2440,48 @@ def _oracle_viewshed_maxdist() -> str:
 _lazy_oracle("viewshed_maxdist_checksum", _oracle_viewshed_maxdist)
 
 
+@_register("contour_polygons_bands")
+def q_contour_polygons_bands(spark, sf_dir):
+    """gdal_contour -p: level-band polygons (banding + distributed ring
+    assembly); integerized band bounds + area per region."""
+    from gdal_spark.functions.st import st_area, st_geomfromtext
+    from gdal_spark.raster.analysis import contour_polygons
+    from gdal_spark.raster.model import synth_raster
+
+    meta = _terrain_meta()
+    out = contour_polygons(synth_raster(spark, meta), meta, interval=40.0)
+    return out.select(
+        F.floor(F.col("elev_min") + F.lit(0.5)).cast("long").alias("emin"),
+        F.floor(
+            st_area(st_geomfromtext(F.col("wkt"))) * 100 + F.lit(0.5)
+        ).cast("long").alias("area_e2"),
+    ).orderBy("emin", "area_e2")
+
+
+def _oracle_contour_polygons() -> str:
+    from gdal_spark.geometry import wkt as _wkt
+    from gdal_spark.geometry import ops as _ops
+    from gdal_spark.raster.analysis import contour_polygons_np
+
+    full, meta = _terrain_full_np()
+    rows = []
+    for emin, _emax, wkt_s in contour_polygons_np(full, meta, 40.0):
+        g = _wkt.parse_wkt(wkt_s)
+        rows.append(
+            (int(np.floor(emin + 0.5)),
+             int(np.floor(_ops.area(g) * 100 + 0.5)))
+        )
+    rows.sort()
+    vals = ", ".join(f"({a}, {b})" for a, b in rows)
+    return (
+        "SELECT CAST(emin AS BIGINT) AS emin, CAST(area_e2 AS BIGINT) AS area_e2 "
+        f"FROM (VALUES {vals}) t(emin, area_e2) ORDER BY emin, area_e2"
+    )
+
+
+_lazy_oracle("contour_polygons_bands", _oracle_contour_polygons)
+
+
 @_register("mosaic_checksum")
 def q_mosaic_checksum(spark, sf_dir):
     """Mosaic/merge (gdal_merge / gdal raster mosaic): two overlapping

@@ -288,3 +288,26 @@ def test_viewshed_max_dist_bounded(spark):
                            out_of_range=-1.0, resx=2.0, resy=3.0)
         assert np.array_equal(got, want), (nx, ny)
         assert (want == -1.0).any()  # the bound actually engaged
+
+
+def test_contour_polygons_bands(spark):
+    """gdal_contour -p composition: distributed band polygons == oracle;
+    bands tile the raster (area conservation)."""
+    import numpy as np
+
+    from gdal_spark.raster.analysis import contour_polygons, contour_polygons_np
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array
+    from gdal_spark.geometry import ops, wkt as _wkt
+
+    x = np.arange(24)[None, :]
+    y = np.arange(16)[:, None]
+    dem = (np.hypot(x - 12, y - 8) * 7.0).astype(np.float32)
+    meta = RasterMeta(width=24, height=16, dtype="float32", block_w=12, block_h=8,
+                      gt=(0.0, 1.0, 0.0, 16.0, 0.0, -1.0))
+    tiles = tiles_from_array(spark, dem, meta)
+    got = sorted((r.elev_min, r.elev_max, r.wkt)
+                 for r in contour_polygons(tiles, meta, 25.0).collect())
+    want = sorted(contour_polygons_np(dem, meta, 25.0))
+    assert got == want
+    total = sum(ops.area(_wkt.parse_wkt(w)) for _, _, w in want)
+    assert abs(total - 24 * 16) < 1e-9  # bands partition the raster
