@@ -1821,6 +1821,50 @@ def q_st_equals_tessellation(spark, sf_dir):
     return df.select("id", st_equals("a", "b").alias("eq")).orderBy("id")
 
 
+@_register(
+    "st_geometry_methods",
+    # simplify(zigzag, tol 2) -> straight diagonal: 2 vertices, length 5·√2
+    # → floor(7.0710678…·1e6+0.5) = 7071068; segmentize(5-unit line, 1)
+    # -> 6 vertices; boundary(L-shape) -> 1 ring, perimeter 8
+    "SELECT * FROM (VALUES "
+    "('simplify', 2, CAST(7071068 AS BIGINT)), "
+    "('segmentize', 6, CAST(5000000 AS BIGINT)), "
+    "('boundary', 1, CAST(8000000 AS BIGINT))"
+    ") t(op, n_pts, len_e6) ORDER BY op",
+)
+def q_st_geometry_methods(spark, sf_dir):
+    """ST_Simplify / ST_Segmentize / ST_Boundary (OGRGeometry methods,
+    ogr_geometry.h:565,437,562) with analytic goldens."""
+    from gdal_spark.functions.st import (
+        st_boundary, st_length, st_npoints, st_numgeometries, st_segmentize,
+        st_simplify,
+    )
+    from gdal_spark.geometry import wkt as _wkt
+
+    zig = "LINESTRING (0 0,1 1.2,2 1.8,3 3.1,4 4.2,5 5)"
+    seg = "LINESTRING (0 0,5 0)"
+    lshape = _LSHAPE
+    df = spark.createDataFrame(
+        [("simplify", bytearray(_wkt.wkt_to_wkb(zig))),
+         ("segmentize", bytearray(_wkt.wkt_to_wkb(seg))),
+         ("boundary", bytearray(_wkt.wkt_to_wkb(lshape)))],
+        "op STRING, geometry BINARY",
+    )
+    out = df.withColumn(
+        "res",
+        F.when(F.col("op") == "simplify", st_simplify("geometry", F.lit(2.0)))
+        .when(F.col("op") == "segmentize", st_segmentize("geometry", F.lit(1.0)))
+        .otherwise(st_boundary("geometry")),
+    )
+
+    return out.select(
+        "op",
+        F.when(F.col("op") == "boundary", st_numgeometries(F.col("res")))
+        .otherwise(st_npoints(F.col("res"))).alias("n_pts"),
+        F.floor(st_length(F.col("res")) * 1_000_000 + F.lit(0.5)).cast("long").alias("len_e6"),
+    ).orderBy("op")
+
+
 @_register("st_buffer_concave_areas")
 def q_st_buffer_concave_areas(spark, sf_dir):
     """True round buffer (VERDICT r2 missing-2 closed): dilate + erode of

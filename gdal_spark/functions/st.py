@@ -258,6 +258,36 @@ def _num_geometries(g) -> int:
 
 
 st_numgeometries = _unary_udf(_num_geometries, IntegerType())
+# OGRGeometry::getNumPoints analogue: total vertex count over all
+# sequences (rings count their closing vertex per the stored form)
+st_npoints = _unary_udf(lambda g: int(len(ops._all_coords(g))), IntegerType())
+@F.pandas_udf(BinaryType())
+def st_simplify(g: pd.Series, tol: pd.Series) -> pd.Series:
+    """OGRGeometry::Simplify (Douglas–Peucker per sequence)."""
+    out = []
+    for b, t in zip(g, tol):
+        if b is None:
+            out.append(None)
+            continue
+        out.append(wkt.geom_to_wkb(*ops.simplify_geom(wkb.parse_wkb(bytes(b)), float(t))))
+    return pd.Series(out)
+
+
+@F.pandas_udf(BinaryType())
+def st_segmentize(g: pd.Series, max_len: pd.Series) -> pd.Series:
+    """OGRGeometry::segmentize (densify to ≤ max_len segments)."""
+    out = []
+    for b, m in zip(g, max_len):
+        if b is None:
+            out.append(None)
+            continue
+        out.append(wkt.geom_to_wkb(*ops.segmentize_geom(wkb.parse_wkb(bytes(b)), float(m))))
+    return pd.Series(out)
+
+
+st_boundary = _unary_udf(
+    lambda g: wkt.geom_to_wkb(*ops.boundary_geom(g)), BinaryType()
+)
 st_unaryunion = _unary_udf(
     lambda g: wkt.geom_to_wkb(*ops.unary_union(g)), BinaryType()
 )
@@ -348,8 +378,12 @@ _REGISTRY = {
     "st_union": st_union,
     "st_difference": st_difference,
     "st_symdifference": st_symdifference,
+    "st_simplify": st_simplify,
+    "st_segmentize": st_segmentize,
+    "st_boundary": st_boundary,
     "st_castgeometry": st_castgeometry,
     "st_numgeometries": st_numgeometries,
+    "st_npoints": st_npoints,
     "st_unaryunion": st_unaryunion,
     "st_delaunaytriangles": st_delaunaytriangles,
     "st_isvalid": st_isvalid,

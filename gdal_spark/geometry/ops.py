@@ -1436,3 +1436,67 @@ def make_valid_geom(g):
     if not pieces:
         return None
     return _pieces_to_geom(pieces)
+
+
+def _map_coord_seqs(g, fn):
+    """Apply ``fn`` to every coordinate sequence (lines, rings) of a
+    geometry, preserving structure; points pass through."""
+    name, payload = g
+    if name == "Point":
+        return g
+    if name == "MultiPoint":
+        return g
+    if name == "LineString":
+        return ("LineString", fn(np.asarray(payload, dtype=float), False))
+    if name == "MultiLineString":
+        return ("MultiLineString", [_map_coord_seqs(c, fn) for c in payload])
+    if name == "Polygon":
+        return ("Polygon", [fn(np.asarray(r, dtype=float), True) for r in payload])
+    if name == "MultiPolygon":
+        return ("MultiPolygon", [_map_coord_seqs(p, fn) for p in payload])
+    if name == "GeometryCollection":
+        return ("GeometryCollection", [_map_coord_seqs(c, fn) for c in payload])
+    raise ValueError(f"unsupported geometry {name}")
+
+
+def simplify_geom(g, tol: float):
+    """OGRGeometry::Simplify (ogr_geometry.h:565, GEOS Douglas–Peucker):
+    per-sequence DP over lines and rings (SIMPLIFIED vs GEOS
+    SimplifyPreserveTopology: ring collapse below tol is not repaired)."""
+    return _map_coord_seqs(g, lambda c, closed: simplify_ring(c, tol))
+
+
+def segmentize_geom(g, max_len: float):
+    """OGRGeometry::segmentize (ogr_geometry.h:437): densify every
+    sequence so no segment exceeds max_len."""
+    return _map_coord_seqs(g, lambda c, closed: segmentize_line(c, max_len))
+
+
+def boundary_geom(g):
+    """OGRGeometry::Boundary (ogr_geometry.h:562, SFCOM): polygon →
+    MultiLineString of its rings; LineString → MultiPoint of endpoints
+    (empty for closed lines); point → empty collection."""
+    name, payload = g
+    if name in ("Point", "MultiPoint"):
+        return ("GeometryCollection", [])
+    if name == "LineString":
+        c = np.asarray(payload, dtype=float)
+        if len(c) < 2 or np.array_equal(c[0], c[-1]):
+            return ("MultiPoint", [])
+        return ("MultiPoint", [("Point", tuple(c[0])), ("Point", tuple(c[-1]))])
+    if name == "MultiLineString":
+        pts = []
+        for child in payload:
+            b = boundary_geom(child)
+            pts.extend(b[1])
+        return ("MultiPoint", pts)
+    if name == "Polygon":
+        return ("MultiLineString", [("LineString", np.asarray(r, dtype=float)) for r in payload])
+    if name == "MultiPolygon":
+        lines = []
+        for _, rings in payload:
+            lines.extend(("LineString", np.asarray(r, dtype=float)) for r in rings)
+        return ("MultiLineString", lines)
+    if name == "GeometryCollection":
+        return ("GeometryCollection", [boundary_geom(c) for c in payload])
+    raise ValueError(f"unsupported geometry {name}")
