@@ -1485,10 +1485,16 @@ def boundary_geom(g):
             return ("MultiPoint", [])
         return ("MultiPoint", [("Point", tuple(c[0])), ("Point", tuple(c[-1]))])
     if name == "MultiLineString":
-        pts = []
+        # SFCOM/GEOS mod-2 rule: a point is on the boundary iff it is an
+        # endpoint of an ODD number of member curves — two lines sharing
+        # an endpoint cancel there (ogr_geometry.h:562 semantics).
+        from collections import Counter
+
+        counts: Counter = Counter()
         for child in payload:
-            b = boundary_geom(child)
-            pts.extend(b[1])
+            for _, pt in boundary_geom(child)[1]:
+                counts[pt] += 1
+        pts = [("Point", pt) for pt, n in counts.items() if n % 2 == 1]
         return ("MultiPoint", pts)
     if name == "Polygon":
         return ("MultiLineString", [("LineString", np.asarray(r, dtype=float)) for r in payload])

@@ -44,8 +44,10 @@ def gcp_fit(gcps, order: int = 0):
     """Fit both transform directions from control points.
 
     ``gcps``: iterable of (pixel, line, geo_x, geo_y).
-    ``order=0``: auto like GDALCreateGCPTransformer — the highest order
-    in 1..3 the point count supports (n ≥ n_coefs), capped at 3.
+    ``order=0``: auto like GDALCreateGCPTransformer (alg/gdal_crs.cpp:203-211)
+    — order 2 when n ≥ 6 else 1. The reference deliberately never
+    auto-selects order 3 ("we avoid 3rd order since it is unstable");
+    order=3 stays available only by explicit request.
 
     Returns dict with E12/N12 (pixel→geo), E21/N21 (geo→pixel), order."""
     g = np.asarray(list(gcps), dtype=np.float64)
@@ -53,7 +55,7 @@ def gcp_fit(gcps, order: int = 0):
         raise ValueError("gcps must be rows of (pixel, line, geo_x, geo_y)")
     n_pts = len(g)
     if order == 0:
-        order = max(o for o in (1, 2, 3) if _N_COEF[o] <= n_pts)
+        order = 2 if n_pts >= _N_COEF[2] else 1
     if n_pts < _N_COEF[order]:
         raise ValueError(f"order {order} needs ≥ {_N_COEF[order]} GCPs, got {n_pts}")
     px, ln, gx, gy = g[:, 0], g[:, 1], g[:, 2], g[:, 3]

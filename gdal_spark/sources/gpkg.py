@@ -60,9 +60,13 @@ def parse_gpkg_blob(blob: bytes | None) -> bytes | None:
     env = _ENVELOPE_BYTES.get((flags >> 1) & 0x07)
     if env is None:
         raise ValueError(f"invalid envelope indicator in flags {flags:#x}")
-    if flags & 0x10:  # empty-geometry flag
-        return None
-    return blob[8 + env :]
+    body = blob[8 + env :]
+    if flags & 0x10:
+        # Empty-geometry flag: per spec §2.1.3 the WKB body (e.g. POINT
+        # EMPTY with NaN coords) is still present — preserve the
+        # EMPTY/NULL distinction instead of collapsing both to None.
+        return body if body else None
+    return body
 
 
 def _spark_type(decl: str) -> str:
@@ -148,13 +152,22 @@ def _gp_blob(wkb_bytes: bytes | None, srs_id: int) -> bytes | None:
 def write_gpkg(
     df, path: str, layer: str, geom_col: str = "geometry",
     srs_id: int = 4326, geometry_type: str = "GEOMETRY",
+    max_rows: int = 1_000_000,
 ) -> None:
     """Write a DataFrame with a WKB geometry column as a GeoPackage
     feature layer (OGC spec container tables + §2.1.3 blobs).
 
     Driver-side like the reader (SQLite is a single-writer local file);
     intended for fixture-scale exports — the 100 TB sink is parquet.
-    Rows collect in a deterministic order (all non-geometry columns)."""
+    Rows collect in a deterministic order (all non-geometry columns).
+    ``max_rows`` guards the driver collect: a mis-aimed huge write fails
+    fast instead of OOMing the driver."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"write_gpkg is a driver-side fixture sink (> {max_rows} rows); "
+            "write parquet for large tables or raise max_rows explicitly"
+        )
     rows = df.collect()
     names = df.columns
     gi = names.index(geom_col)

@@ -414,4 +414,11 @@ def dedup_clusters(
         labels = jumped
         if changed == 0:
             break
+    else:
+        # Same contract as polygonize._cc_roots: never hand back
+        # silently-wrong (unconverged) cluster assignments.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_rounds} rounds; "
+            "raise max_rounds (components deeper than 2^rounds hops)"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
