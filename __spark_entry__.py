@@ -2670,9 +2670,9 @@ def _rgb_pct_fixture():
 def q_rgb_pct_quantize(spark, sf_dir):
     """rgb→pct: median-cut palette (GDALComputeMedianCutPCT,
     alg/gdalmediancut.cpp — exact box-list/split/shrink discipline) +
-    nearest-color mapping (error-diffusion dither is serial by
-    construction and stays out of scope). Emits the palette rows plus the
-    checksum of the mapped index raster."""
+    nearest-color mapping (the error-diffusion dither variant is the
+    dither_checksum gate). Emits the palette rows plus the checksum of
+    the mapped index raster."""
     from gdal_spark.raster.checksum import checksum_df
     from gdal_spark.raster.model import RasterMeta, tiles_from_array
     from gdal_spark.raster.quantize import apply_pct, compute_median_cut_pct
@@ -2710,6 +2710,93 @@ def _oracle_rgb_pct() -> str:
 
 
 _lazy_oracle("rgb_pct_quantize", _oracle_rgb_pct)
+
+
+@_register("dither_checksum")
+def q_dither_checksum(spark, sf_dir):
+    """rgb2pct.py full pipeline: median-cut palette
+    (GDALComputeMedianCutPCT) + Floyd–Steinberg error-diffusion dither
+    (GDALDitherRGB2PCT, alg/gdaldither.cpp — GDAL's sixth-based split,
+    nBits=5 colormap, trunc-toward-zero C int division), distributed as
+    the skewed anti-diagonal block wavefront (raster/dither.py)."""
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.dither import dither_rgb2pct
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array
+    from gdal_spark.raster.quantize import compute_median_cut_pct
+
+    r, g, b = _rgb_pct_fixture()
+    meta = RasterMeta(width=48, height=40, dtype="uint8", block_w=16, block_h=20)
+    t = None
+    for i, band in enumerate((r, g, b)):
+        tt = tiles_from_array(spark, band, meta, band=i + 1)
+        t = tt if t is None else t.unionByName(tt)
+    t = t.persist()
+    pal = compute_median_cut_pct(t, meta, n_colors=16)
+    cs = int(checksum_df(dither_rgb2pct(t, meta, pal, block_u=24), meta))
+    return spark.createDataFrame([(cs,)], "checksum BIGINT")
+
+
+def _oracle_dither() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.dither import dither_rgb2pct_np
+    from gdal_spark.raster.quantize import rgb_to_pct_np
+
+    r, g, b = _rgb_pct_fixture()
+    pal, _ = rgb_to_pct_np(r, g, b, n_colors=16)
+    img = dither_rgb2pct_np(r, g, b, np.asarray(pal, dtype=np.int64))
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("dither_checksum", _oracle_dither)
+
+
+@_register("warp_cutline_checksum")
+def q_warp_cutline_checksum(spark, sf_dir):
+    """gdalwarp -cutline (apps/gdalwarp_lib.cpp; GDALWarpCutlineMasker
+    rasterizes the cutline in source pixel space with the
+    GDALdllImageFilledPolygon scanline): concave cutline with a hole,
+    crossing block boundaries; outside pixels → init."""
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, synth_raster
+    from gdal_spark.raster.warp import warp_affine
+
+    src_meta = _terrain_meta()
+    dst_meta = RasterMeta(width=80, height=50, dtype="float64", block_w=32, block_h=25,
+                          gt=(980.0, 12.0, 0.0, 5020.0, 0.0, -12.5))
+    cut = _cutline_fixture_wkb(polygon_wkb)
+    out = warp_affine(synth_raster(spark, src_meta), src_meta, dst_meta,
+                      alg="bilinear", init=-1.0, cutline=cut)
+    cs = int(checksum_df(out, dst_meta))
+    return spark.createDataFrame([(cs,)], "checksum BIGINT")
+
+
+def _cutline_fixture_wkb(polygon_wkb):
+    # arrow-shaped concave polygon with a hole, in the terrain fixture's
+    # georeferenced coords, spanning several 32x25 blocks
+    return polygon_wkb(
+        [(1050.0, 4950.0), (1850.0, 4920.0), (1800.0, 4450.0),
+         (1450.0, 4700.0), (1100.0, 4350.0), (1050.0, 4950.0)],
+        holes=[[(1250.0, 4850.0), (1420.0, 4840.0), (1400.0, 4730.0),
+                (1250.0, 4750.0), (1250.0, 4850.0)]],
+    )
+
+
+def _oracle_warp_cutline() -> str:
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.model import RasterMeta
+    from gdal_spark.raster.warp import warp_affine_np
+
+    full, src_meta = _terrain_full_np()
+    dst_meta = RasterMeta(width=80, height=50, dtype="float64", block_w=32, block_h=25,
+                          gt=(980.0, 12.0, 0.0, 5020.0, 0.0, -12.5))
+    img = warp_affine_np(full, src_meta, dst_meta, alg="bilinear", init=-1.0,
+                         cutline=_cutline_fixture_wkb(polygon_wkb))
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("warp_cutline_checksum", _oracle_warp_cutline)
 
 
 def _pansharpen_fixture():

@@ -14,10 +14,10 @@ Palette construction replicates the reference exactly:
 - palette entry = ((min + max) << shift) / 2 per channel, in final list
   order
 
-Error-diffusion dithering (alg/gdaldither.cpp) is inherently serial
-(each pixel's error feeds the next) and stays out of scope; mapping here
-is exact nearest palette color (squared-RGB distance, lowest index wins)
-— per-pixel local, fully distributed.
+Mapping here is exact nearest palette color (squared-RGB distance,
+lowest index wins) — per-pixel local, fully distributed. Error-diffusion
+dithering (alg/gdaldither.cpp) lives in raster/dither.py as a skewed
+block wavefront.
 
 Distribution: one groupBy over ≤ 32768 quantized-color counts builds the
 global histogram (map-side partial bincount per block, tiny shuffle);

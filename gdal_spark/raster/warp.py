@@ -129,6 +129,80 @@ REDUCE_ALGS = ("average", "rms", "sum", "min", "max", "mode", "med", "q1", "q3")
 _EPS = 1e-10
 
 
+# ---------------------------------------------------------------------------
+# cutline (gdalwarp -cutline): mask source validity by a polygon
+# ---------------------------------------------------------------------------
+
+def _cutline_polys_px(cutline, src_meta: "RasterMeta"):
+    """Parse a cutline (WKB bytes or parsed geometry tuple) given in
+    SOURCE georeferenced coords into per-polygon ring lists in source
+    PIXEL coords — the CutlineTransformer step of GDALWarpCutlineMasker
+    (gdalwarper.cpp): the reference transforms the cutline into source
+    pixel/line space and rasterizes it there with the very scanline code
+    gdal_rasterize uses (GDALdllImageFilledPolygon)."""
+    from gdal_spark.geometry import wkb as _wkb
+
+    g = _wkb.parse_wkb(bytes(cutline)) if isinstance(cutline, (bytes, bytearray)) else cutline
+    name, payload = g
+    if name == "Polygon":
+        polys = [payload]
+    elif name == "MultiPolygon":
+        polys = [rings for _, rings in payload]
+    else:
+        raise ValueError(f"cutline must be Polygon/MultiPolygon, got {name}")
+    out = []
+    for rings in polys:
+        rr = []
+        for r in rings:
+            r = np.asarray(r, dtype=np.float64)
+            px, py = src_meta.geo_to_px(r[:, 0], r[:, 1])
+            rr.append(np.column_stack([np.asarray(px), np.asarray(py)]))
+        out.append(rr)
+    return out
+
+
+def cutline_mask_np(polys_px, y0: int, x0: int, h: int, w: int) -> np.ndarray:
+    """0/1 source-validity mask over the (h, w) window whose top-left is
+    global source pixel (y0, x0): each cutline polygon burned with the
+    exact GDALdllImageFilledPolygon pixel-center even-odd scanline
+    (holes included via ring crossings pairing)."""
+    from gdal_spark.raster.rasterize import _scanline_burn
+
+    m = np.zeros((h, w), dtype=np.float64)
+    for rings in polys_px:
+        _scanline_burn(m, rings, 1.0, y0, x0, False)
+    return m
+
+
+def _apply_cutline_np(
+    out: np.ndarray, polys_px, to_src, src_meta: "RasterMeta",
+    px_off: int, py_off: int, init: float,
+) -> np.ndarray:
+    """Mask a dst block in place: a dst pixel survives iff the SOURCE
+    pixel containing its sampled center is inside the cutline — exactly
+    the reference's behavior for near resampling (invalid source pixel →
+    dstnodata), and a documented center-validity approximation for
+    interpolating kernels (the reference density-blends edge taps;
+    CUTLINE_BLEND_DIST is out of scope)."""
+    h, w = out.shape
+    dy, dx = np.meshgrid(np.arange(h) + py_off, np.arange(w) + px_off, indexing="ij")
+    sx, sy = to_src(dx.ravel() + 0.5, dy.ravel() + 0.5)
+    ix = np.floor(np.asarray(sx)).astype(np.int64)
+    iy = np.floor(np.asarray(sy)).astype(np.int64)
+    inside = (ix >= 0) & (ix < src_meta.width) & (iy >= 0) & (iy < src_meta.height)
+    keep = np.zeros(h * w, dtype=bool)
+    if inside.any():
+        mx0 = int(ix[inside].min())
+        mx1 = int(ix[inside].max()) + 1
+        my0 = int(iy[inside].min())
+        my1 = int(iy[inside].max()) + 1
+        m = cutline_mask_np(polys_px, my0, mx0, my1 - my0, mx1 - mx0)
+        keep[inside] = m[iy[inside] - my0, ix[inside] - mx0] > 0
+    flat = out.ravel()
+    flat[~keep] = init
+    return flat.reshape(h, w)
+
+
 def warp_reduce_np(
     win: np.ndarray,
     dst_meta: RasterMeta,
@@ -307,8 +381,14 @@ def warp_affine(
     alg: str = "near",
     init: float = 0.0,
     band: int = 1,
+    cutline=None,
 ) -> DataFrame:
-    """Warp src raster onto the dst grid; returns float64 dst tiles."""
+    """Warp src raster onto the dst grid; returns float64 dst tiles.
+
+    ``cutline``: optional Polygon/MultiPolygon (WKB bytes or parsed
+    geometry) in SOURCE georeferenced coords — gdalwarp -cutline
+    (apps/gdalwarp_lib.cpp): dst pixels sampling outside it become
+    ``init``."""
     sbw, sbh = src_meta.block_w, src_meta.block_h
     if alg in REDUCE_ALGS:
         halo = 2  # footprint = corner box; +2 covers the ceil/bump slack
@@ -388,7 +468,9 @@ def warp_affine(
         .withColumn("block_y", F.explode(sby_arr))
         .select("dbx", "dby", "block_x", "block_y", "sx0", "sy0", "sx1", "sy1")
     )
-    return _gather_and_warp(need, src_tiles, src_meta, dst_meta, alg, init, band, tf=None)
+    return _gather_and_warp(
+        need, src_tiles, src_meta, dst_meta, alg, init, band, tf=None, cutline=cutline
+    )
 
 
 def _gather_and_warp(
@@ -400,6 +482,7 @@ def _gather_and_warp(
     init: float,
     band: int,
     tf,
+    cutline=None,
 ) -> DataFrame:
     """Shared gather join + per-dst-block resample kernel; ``tf`` is an
     optional geo→geo transform (CRS reprojection) composed between the
@@ -408,6 +491,9 @@ def _gather_and_warp(
     src = src_tiles.filter(F.col("band") == band)
     gathered = need.join(src, ["block_x", "block_y"], "left")
     dtype = src_meta.dtype
+    # cutline rings → source pixel coords ONCE on the driver (a cutline is
+    # a handful of rings); they ship to executors in the UDF closure.
+    polys_px = _cutline_polys_px(cutline, src_meta) if cutline is not None else None
 
     def warp_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
         to_src = _make_to_src_px(dst_meta, src_meta, tf)
@@ -466,6 +552,11 @@ def _gather_and_warp(
                 res = np.full(len(sx), init)
                 res[in_src] = vals[in_src]
                 out = res.reshape(h, w)
+        if polys_px is not None:
+            out = _apply_cutline_np(
+                np.ascontiguousarray(out), polys_px, to_src, src_meta,
+                dbx * dst_meta.block_w, dby * dst_meta.block_h, init,
+            )
         return pd.DataFrame(
             [(band, dby, dbx, h, w, out.tobytes())],
             columns=["band", "block_y", "block_x", "h", "w", "data"],
@@ -476,19 +567,26 @@ def _gather_and_warp(
 
 def warp_affine_np(
     src: np.ndarray, src_meta: RasterMeta, dst_meta: RasterMeta,
-    alg: str = "near", init: float = 0.0,
+    alg: str = "near", init: float = 0.0, cutline=None,
 ) -> np.ndarray:
     """Single-node oracle with the identical sampling path."""
     h, w = dst_meta.height, dst_meta.width
     if alg in REDUCE_ALGS:
-        return warp_reduce_np(src, dst_meta, src_meta, 0, 0, h, w, 0, 0, alg, init)
-    dy, dx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    sx, sy = _dst_px_to_src_px(dst_meta, src_meta, dx.ravel() + 0.5, dy.ravel() + 0.5)
-    vals = warp_sample_np(src, sx, sy, alg, 0, 0, src_meta.width, src_meta.height)
-    in_src = (sx >= 0) & (sx <= src_meta.width) & (sy >= 0) & (sy <= src_meta.height)
-    out = np.full(h * w, init)
-    out[in_src] = vals[in_src]
-    return out.reshape(h, w)
+        out = warp_reduce_np(src, dst_meta, src_meta, 0, 0, h, w, 0, 0, alg, init)
+    else:
+        dy, dx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        sx, sy = _dst_px_to_src_px(dst_meta, src_meta, dx.ravel() + 0.5, dy.ravel() + 0.5)
+        vals = warp_sample_np(src, sx, sy, alg, 0, 0, src_meta.width, src_meta.height)
+        in_src = (sx >= 0) & (sx <= src_meta.width) & (sy >= 0) & (sy <= src_meta.height)
+        res = np.full(h * w, init)
+        res[in_src] = vals[in_src]
+        out = res.reshape(h, w)
+    if cutline is not None:
+        out = _apply_cutline_np(
+            np.ascontiguousarray(out), _cutline_polys_px(cutline, src_meta),
+            _make_to_src_px(dst_meta, src_meta), src_meta, 0, 0, init,
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -514,13 +612,16 @@ def warp_crs(
     alg: str = "near",
     init: float = 0.0,
     band: int = 1,
+    cutline=None,
 ) -> DataFrame:
     """gdalwarp with reprojection: dst px → dst geo → (dst_crs→src_crs via
     geometry/crs.py Krüger transforms) → src geo → src px."""
     from gdal_spark.geometry import crs as _crs
 
     tf = _crs.transformer(dst_crs, src_crs)
-    return warp_with_transform(src_tiles, src_meta, dst_meta, tf, alg, init, band)
+    return warp_with_transform(
+        src_tiles, src_meta, dst_meta, tf, alg, init, band, cutline=cutline
+    )
 
 
 def warp_with_transform(
@@ -531,6 +632,7 @@ def warp_with_transform(
     alg: str = "near",
     init: float = 0.0,
     band: int = 1,
+    cutline=None,
 ) -> DataFrame:
     """Generic non-affine warp: ``tf`` is any vectorized geo→geo mapping
     (dst CRS geo → src CRS geo) slotted between the two geotransforms —
@@ -604,7 +706,9 @@ def warp_with_transform(
         .withColumn("block_y", F.explode(sby_arr))
         .select("dbx", "dby", "block_x", "block_y", "sx0", "sy0", "sx1", "sy1")
     )
-    return _gather_and_warp(need, src_tiles, src_meta, dst_meta, alg, init, band, tf=tf)
+    return _gather_and_warp(
+        need, src_tiles, src_meta, dst_meta, alg, init, band, tf=tf, cutline=cutline
+    )
 
 
 def warp_crs_np(
@@ -630,21 +734,29 @@ def warp_with_transform_np(
     tf,
     alg: str = "near",
     init: float = 0.0,
+    cutline=None,
 ) -> np.ndarray:
     """Single-node oracle for warp_with_transform."""
     to_src = _make_to_src_px(dst_meta, src_meta, tf)
     h, w = dst_meta.height, dst_meta.width
     if alg in REDUCE_ALGS:
-        return warp_reduce_np(
+        out = warp_reduce_np(
             src, dst_meta, src_meta, 0, 0, h, w, 0, 0, alg, init, to_src=to_src
         )
-    dy, dx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    sx, sy = to_src(dx.ravel() + 0.5, dy.ravel() + 0.5)
-    vals = warp_sample_np(src, sx, sy, alg, 0, 0, src_meta.width, src_meta.height)
-    in_src = (sx >= 0) & (sx <= src_meta.width) & (sy >= 0) & (sy <= src_meta.height)
-    out = np.full(h * w, init)
-    out[in_src] = vals[in_src]
-    return out.reshape(h, w)
+    else:
+        dy, dx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        sx, sy = to_src(dx.ravel() + 0.5, dy.ravel() + 0.5)
+        vals = warp_sample_np(src, sx, sy, alg, 0, 0, src_meta.width, src_meta.height)
+        in_src = (sx >= 0) & (sx <= src_meta.width) & (sy >= 0) & (sy <= src_meta.height)
+        res = np.full(h * w, init)
+        res[in_src] = vals[in_src]
+        out = res.reshape(h, w)
+    if cutline is not None:
+        out = _apply_cutline_np(
+            np.ascontiguousarray(out), _cutline_polys_px(cutline, src_meta),
+            to_src, src_meta, 0, 0, init,
+        )
+    return out
 
 
 def suggested_warp_output(
