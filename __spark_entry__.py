@@ -2799,6 +2799,118 @@ def _oracle_warp_cutline() -> str:
 _lazy_oracle("warp_cutline_checksum", _oracle_warp_cutline)
 
 
+def _rasterize_z_fixture():
+    """Sloped 3-D features spanning blocks: a tilted triangle + quad (fill
+    burns first-vertex Z), a 3-D polyline (Z interpolates per pixel), and
+    two 3-D points; MERGE_ALG=ADD exercises accumulation."""
+    from gdal_spark.geometry.wkb import linestring_wkb_z, point_wkb_z, polygon_wkb_z
+
+    tri = polygon_wkb_z([(2.0, 2.0, 10.0), (28.0, 4.0, 40.0), (8.0, 20.0, 25.0)])
+    quad = polygon_wkb_z(
+        [(12.0, 10.0, 5.5), (30.0, 10.0, 5.5), (30.0, 22.0, 5.5), (12.0, 22.0, 5.5)]
+    )
+    line = linestring_wkb_z([(1.0, 23.0, 100.0), (17.0, 1.0, 16.0), (31.0, 18.0, 58.0)])
+    pts = [point_wkb_z(5.0, 5.0, 7.25), point_wkb_z(25.5, 15.5, -3.0)]
+    return [tri, quad, line] + pts, [1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+@_register("rasterize_burn_z")
+def q_rasterize_burn_z(spark, sf_dir):
+    """gdal_rasterize -3d / BURN_VALUE_FROM=Z (alg/gdalrasterize.cpp:780):
+    fills burn burn+Z of the geometry's first vertex (the reference does
+    NOT interpolate fills — dfVariant[0], llrasterize.cpp:180), lines
+    interpolate Z along the Bresenham walk, points use their own Z."""
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta
+    from gdal_spark.raster.rasterize import rasterize
+
+    geoms, vals = _rasterize_z_fixture()
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    feats = spark.createDataFrame(
+        [(i, bytearray(g), float(v)) for i, (g, v) in enumerate(zip(geoms, vals))],
+        "fid INT, geometry BINARY, burn DOUBLE",
+    )
+    out = rasterize(feats, meta, fid_col="fid", merge_alg="ADD",
+                    burn_value_from_z=True)
+    # checksum floors float pixels; scale to keep fractional Zs significant
+    cs = int(checksum_df(out, meta))
+    return spark.createDataFrame([(cs,)], "checksum BIGINT")
+
+
+def _oracle_rasterize_z() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.model import RasterMeta
+    from gdal_spark.raster.rasterize import rasterize_z_np
+
+    geoms, vals = _rasterize_z_fixture()
+    meta = RasterMeta(width=32, height=24, dtype="float64", block_w=16, block_h=12,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    img = rasterize_z_np(geoms, vals, meta, merge_add=True)
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("rasterize_burn_z", _oracle_rasterize_z)
+
+
+# star polygon whose plain-DP simplification at tol=1 SELF-INTERSECTS; the
+# preserve variant must re-add a vertex and stay valid (GEOS
+# TopologyPreservingSimplifier contract, ogr_geometry.h:586)
+_SPT_RING = [
+    (-7.1492, 5.8171), (-8.2229, 1.7415), (-1.1017, -2.3678),
+    (-2.7895, -7.2134), (0.0849, -1.7781), (2.1162, -4.3447),
+    (2.0495, -4.0855), (1.4648, -2.4092), (-7.1492, 5.8171),
+]
+
+
+@_register("st_simplify_preserve")
+def q_st_simplify_preserve(spark, sf_dir):
+    """ST_SimplifyPreserveTopology vs plain ST_Simplify
+    (OGRGeometry::SimplifyPreserveTopology, ogr_geometry.h:586): on the
+    star fixture plain DP produces a self-intersecting (invalid) ring;
+    the preserve variant stays valid with one vertex restored."""
+    from gdal_spark.functions.st import (
+        st_area, st_isvalid, st_npoints, st_simplify,
+        st_simplify_preserve_topology,
+    )
+    from gdal_spark.geometry.wkb import polygon_wkb
+
+    df = spark.createDataFrame(
+        [(1, bytearray(polygon_wkb(_SPT_RING)))], "id INT, geometry BINARY"
+    )
+    out = df.select(
+        st_simplify("geometry", F.lit(1.0)).alias("dp"),
+        st_simplify_preserve_topology("geometry", F.lit(1.0)).alias("pres"),
+    )
+    return out.select(
+        st_npoints("dp").alias("dp_pts"),
+        st_isvalid("dp").alias("dp_valid"),
+        st_npoints("pres").alias("pres_pts"),
+        st_isvalid("pres").alias("pres_valid"),
+        F.floor(st_area("pres") * 10_000 + F.lit(0.5)).cast("long").alias("pres_area_e4"),
+    )
+
+
+def _oracle_st_simplify_preserve() -> str:
+    from gdal_spark.geometry import kernels, ops
+
+    ring = np.asarray(_SPT_RING, dtype=float)
+    g = ("Polygon", [ring])
+    s = ops.simplify_geom(g, 1.0)
+    p = ops.simplify_preserve_topology_geom(g, 1.0)
+    area = abs(kernels.ring_area(p[1][0]))
+    return (
+        f"SELECT CAST({len(s[1][0])} AS INT) AS dp_pts, "
+        f"CAST({str(ops.is_valid(s)).lower()} AS BOOLEAN) AS dp_valid, "
+        f"CAST({len(p[1][0])} AS INT) AS pres_pts, "
+        f"CAST({str(ops.is_valid(p)).lower()} AS BOOLEAN) AS pres_valid, "
+        f"CAST({int(np.floor(area * 10_000 + 0.5))} AS BIGINT) AS pres_area_e4"
+    )
+
+
+_lazy_oracle("st_simplify_preserve", _oracle_st_simplify_preserve)
+
+
 def _pansharpen_fixture():
     from gdal_spark.raster.model import RasterMeta
 

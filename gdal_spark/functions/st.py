@@ -274,6 +274,22 @@ def st_simplify(g: pd.Series, tol: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(BinaryType())
+def st_simplify_preserve_topology(g: pd.Series, tol: pd.Series) -> pd.Series:
+    """OGRGeometry::SimplifyPreserveTopology (ogr_geometry.h:586, GEOS
+    TopologyPreservingSimplifier): DP that never invalidates rings —
+    see ops.simplify_preserve_topology_geom."""
+    out = []
+    for b, t in zip(g, tol):
+        if b is None:
+            out.append(None)
+            continue
+        out.append(wkt.geom_to_wkb(
+            *ops.simplify_preserve_topology_geom(wkb.parse_wkb(bytes(b)), float(t))
+        ))
+    return pd.Series(out)
+
+
+@F.pandas_udf(BinaryType())
 def st_segmentize(g: pd.Series, max_len: pd.Series) -> pd.Series:
     """OGRGeometry::segmentize (densify to ≤ max_len segments)."""
     out = []
@@ -379,6 +395,7 @@ _REGISTRY = {
     "st_difference": st_difference,
     "st_symdifference": st_symdifference,
     "st_simplify": st_simplify,
+    "st_simplifypreservetopology": st_simplify_preserve_topology,
     "st_segmentize": st_segmentize,
     "st_boundary": st_boundary,
     "st_castgeometry": st_castgeometry,

@@ -1466,6 +1466,162 @@ def simplify_geom(g, tol: float):
     return _map_coord_seqs(g, lambda c, closed: simplify_ring(c, tol))
 
 
+def _dp_keep(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker keep mask (the simplify_ring recurrence, exposed
+    so the topology-preserving variant can re-add dropped vertices)."""
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        seg = pts[i1] - pts[i0]
+        ll = (seg * seg).sum()
+        mid = pts[i0 + 1 : i1]
+        if ll == 0:
+            d2 = ((mid - pts[i0]) ** 2).sum(axis=1)
+        else:
+            t = ((mid - pts[i0]) @ seg) / ll
+            proj = pts[i0] + np.clip(t, 0, 1)[:, None] * seg
+            d2 = ((mid - proj) ** 2).sum(axis=1)
+        k = int(np.argmax(d2))
+        if d2[k] > tol * tol:
+            keep[i0 + 1 + k] = True
+            stack.append((i0, i0 + 1 + k))
+            stack.append((i0 + 1 + k, i1))
+    return keep
+
+
+def _restore_worst(pts: np.ndarray, keep: np.ndarray) -> bool:
+    """Re-add the dropped vertex with the largest deviation from its
+    current simplified chord. Returns False when nothing is dropped."""
+    idx = np.nonzero(keep)[0]
+    best_d, best_i = -1.0, -1
+    for a, b in zip(idx[:-1], idx[1:]):
+        if b <= a + 1:
+            continue
+        seg = pts[b] - pts[a]
+        ll = (seg * seg).sum()
+        mid = pts[a + 1 : b]
+        if ll == 0:
+            d2 = ((mid - pts[a]) ** 2).sum(axis=1)
+        else:
+            t = ((mid - pts[a]) @ seg) / ll
+            proj = pts[a] + np.clip(t, 0, 1)[:, None] * seg
+            d2 = ((mid - proj) ** 2).sum(axis=1)
+        k = int(np.argmax(d2))
+        if d2[k] > best_d:
+            best_d, best_i = float(d2[k]), a + 1 + k
+    if best_i < 0:
+        return False
+    keep[best_i] = True
+    return True
+
+
+def _ring_ok(r: np.ndarray) -> bool:
+    return len(r) >= 4 and abs(kernels.ring_area(r)) > 0 and not _ring_self_intersects(r)
+
+
+def _rings_cross(a: np.ndarray, b: np.ndarray) -> bool:
+    aa = a[:-1] if len(a) and np.array_equal(a[0], a[-1]) else a
+    bb = b[:-1] if len(b) and np.array_equal(b[0], b[-1]) else b
+    na, nb = len(aa), len(bb)
+    for i in range(na):
+        p, q = aa[i], aa[(i + 1) % na]
+        for j in range(nb):
+            if _seg_intersect(p, q, bb[j], bb[(j + 1) % nb]):
+                return True
+    return False
+
+
+def simplify_preserve_topology_geom(g, tol: float):
+    """OGRGeometry::SimplifyPreserveTopology (ogr_geometry.h:586, GEOS
+    TopologyPreservingSimplifier semantics): Douglas–Peucker, but a
+    vertex drop is rejected when it would break the ring's topology.
+    Guarantees per component: rings stay closed with ≥ 4 points, nonzero
+    area and no self-intersection, and no two rings of one polygon cross
+    each other; open lines stay free of proper self-intersections.
+    Repair = greedily re-adding the dropped vertex with the largest
+    chord deviation until the predicate holds (worst case restores the
+    original sequence, matching GEOS's never-invalid contract)."""
+    name, payload = g
+
+    def fix_ring(c):
+        pts = np.asarray(c, dtype=float)
+        if len(pts) < 4:
+            return pts.copy(), None
+        keep = _dp_keep(pts, tol)
+        while not _ring_ok(pts[keep]):
+            if not _restore_worst(pts, keep):
+                break
+        return pts[keep], (pts, keep)
+
+    def fix_line(c):
+        pts = np.asarray(c, dtype=float)
+        keep = _dp_keep(pts, tol)
+        closed = len(pts) > 1 and np.array_equal(pts[0], pts[-1])
+        while _line_self_intersects(pts[keep], closed):
+            if not _restore_worst(pts, keep):
+                break
+        return pts[keep]
+
+    def fix_polygon(rings):
+        out, states = [], []
+        for r in rings:
+            s, st = fix_ring(r)
+            out.append(s)
+            states.append(st)
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(out)):
+                for j in range(i + 1, len(out)):
+                    while _rings_cross(out[i], out[j]):
+                        # restore on whichever ring still has slack
+                        prog = False
+                        for k in (i, j):
+                            if states[k] is not None and _restore_worst(*states[k]):
+                                out[k] = states[k][0][states[k][1]]
+                                prog = True
+                                changed = True
+                                break
+                        if not prog:
+                            break
+        return out
+
+    if name == "Polygon":
+        return ("Polygon", fix_polygon(payload))
+    if name == "MultiPolygon":
+        return ("MultiPolygon", [("Polygon", fix_polygon(r)) for _, r in payload])
+    if name == "LineString":
+        return ("LineString", fix_line(payload))
+    if name == "MultiLineString":
+        return ("MultiLineString", [simplify_preserve_topology_geom(c, tol) for c in payload])
+    if name in ("Point", "MultiPoint"):
+        return g
+    if name == "GeometryCollection":
+        return ("GeometryCollection", [simplify_preserve_topology_geom(c, tol) for c in payload])
+    raise ValueError(f"unsupported geometry {name}")
+
+
+def _line_self_intersects(pts: np.ndarray, closed: bool) -> bool:
+    n = len(pts) - 1  # segments
+    if n < 2:
+        return False
+    for i in range(n):
+        a, b = pts[i], pts[i + 1]
+        for j in range(i + 2, n):
+            if closed and i == 0 and j == n - 1:
+                continue  # ring closure adjacency
+            if _seg_intersect(a, b, pts[j], pts[j + 1]):
+                return True
+    return False
+
+
 def segmentize_geom(g, max_len: float):
     """OGRGeometry::segmentize (ogr_geometry.h:437): densify every
     sequence so no segment exceeds max_len."""

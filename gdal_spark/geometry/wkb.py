@@ -133,6 +133,30 @@ def polygon_wkb(exterior, holes=()) -> bytes:
     return b"".join(out)
 
 
+def point_wkb_z(x: float, y: float, z: float) -> bytes:
+    return struct.pack("<BIddd", 1, 1000 + WKB_POINT, x, y, z)
+
+
+def linestring_wkb_z(coords) -> bytes:
+    """ISO LINESTRING Z from an (N,3) array."""
+    coords = np.asarray(coords, dtype="<f8")
+    return struct.pack("<BII", 1, 1000 + WKB_LINESTRING, len(coords)) + coords.tobytes()
+
+
+def polygon_wkb_z(exterior, holes=()) -> bytes:
+    """ISO POLYGON Z from (N,3) rings (auto-closed)."""
+    rings = [np.asarray(exterior, dtype="<f8")] + [
+        np.asarray(h, dtype="<f8") for h in holes
+    ]
+    out = [struct.pack("<BII", 1, 1000 + WKB_POLYGON, len(rings))]
+    for r in rings:
+        if len(r) and not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        out.append(struct.pack("<I", len(r)))
+        out.append(r.astype("<f8").tobytes())
+    return b"".join(out)
+
+
 def multipolygon_wkb(polys) -> bytes:
     parts = [polygon_wkb(*p) if isinstance(p, tuple) else polygon_wkb(p) for p in polys]
     return struct.pack("<BII", 1, WKB_MULTIPOLYGON, len(parts)) + b"".join(parts)
@@ -143,11 +167,12 @@ def multipolygon_wkb(polys) -> bytes:
 # ---------------------------------------------------------------------------
 
 class _Reader:
-    __slots__ = ("buf", "pos")
+    __slots__ = ("buf", "pos", "keep_z", "_has_z")
 
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, keep_z: bool = False):
         self.buf = buf
         self.pos = 0
+        self.keep_z = keep_z
 
     def geom(self):
         order = self.buf[self.pos]
@@ -160,14 +185,20 @@ class _Reader:
         ndim = 2 + bool(gtype & 0x80000000) + bool(gtype & 0x40000000)
         if gtype & 0x20000000:
             self.pos += 4  # embedded SRID — carried at column level here
+        has_z = bool(gtype & 0x80000000)
         gtype &= 0x0FFFFFFF
         zm = gtype // 1000  # ISO: 0 (2D), 1 (Z), 2 (M), 3 (ZM)
         if zm:
             ndim = 2 + (1 if zm in (1, 2) else 2)
+            has_z = zm in (1, 3)
         base = gtype % 1000
+        self._has_z = has_z
         if base == WKB_POINT:
             vals = struct.unpack_from(fmt + "d" * ndim, self.buf, self.pos)
             self.pos += 8 * ndim
+            if self.keep_z:
+                z = vals[2] if (ndim >= 3 and has_z) else 0.0
+                return ("Point", (vals[0], vals[1], z))
             return ("Point", (vals[0], vals[1]))
         if base == WKB_LINESTRING:
             return ("LineString", self._coords(fmt, ndim))
@@ -210,7 +241,14 @@ class _Reader:
         else:
             arr = np.frombuffer(self.buf, dtype=">f8", count=n * ndim, offset=self.pos).astype("<f8")
         self.pos += 8 * n * ndim
-        return arr.reshape(n, ndim)[:, :2].copy()
+        arr = arr.reshape(n, ndim)
+        if self.keep_z:
+            out = np.zeros((n, 3))
+            out[:, :2] = arr[:, :2]
+            if ndim >= 3 and self._has_z:
+                out[:, 2] = arr[:, 2]  # M-only inputs keep Z=0 (OGR getZ())
+            return out
+        return arr[:, :2].copy()
 
 
 def parse_wkb(buf: bytes):
@@ -220,6 +258,14 @@ def parse_wkb(buf: bytes):
     Multi*/Collection → [children].
     """
     return _Reader(buf).geom()
+
+
+def parse_wkb_z(buf: bytes):
+    """Z-preserving parse: like parse_wkb but coordinate arrays are (N,3)
+    (Z = 0 for 2-D inputs) and Point payloads are (x, y, z) — the
+    GDALCollectRingsFromGeometry getZ() path (alg/gdalrasterize.cpp:427+)
+    feeding BURN_VALUE_FROM=Z."""
+    return _Reader(buf, keep_z=True).geom()
 
 
 def parse_point_wkb_np(blobs) -> tuple[np.ndarray, np.ndarray]:

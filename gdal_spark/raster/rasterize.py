@@ -91,18 +91,24 @@ def _scanline_burn(
                     img[y - y0, a - x0 : b - x0 + 1] = value
 
 
-def _bresenham_line_burn(img, pts, value, y0, x0, merge_add):
+def _bresenham_line_burn(img, pts, value, y0, x0, merge_add, variants=None):
     """Exact GDALdllImageLine Bresenham (llrasterize.cpp:255+): integer
-    error stepping; intermediate segment endpoints burn once."""
+    error stepping; intermediate segment endpoints burn once.
+
+    ``variants``: optional per-vertex Z (BURN_VALUE_FROM=Z) — linearly
+    interpolated along the major axis with the reference's
+    dfDeltaVariant stepping (llrasterize.cpp:298-357); burn value is
+    ``value + variant`` per pixel."""
     h, w = img.shape
     n = len(pts)
+    var = 0.0
 
     def put(iy, ix):
         if y0 <= iy < y0 + h and x0 <= ix < x0 + w:
             if merge_add:
-                img[iy - y0, ix - x0] += value
+                img[iy - y0, ix - x0] += value + var
             else:
-                img[iy - y0, ix - x0] = value
+                img[iy - y0, ix - x0] = value + var
 
     for j in range(1, n):
         ix = int(np.floor(pts[j - 1][0]))
@@ -113,14 +119,19 @@ def _bresenham_line_burn(img, pts, value, y0, x0, merge_add):
         ndy = abs(iy1 - iy)
         xstep = -1 if ix > ix1 else 1
         ystep = -1 if iy > iy1 else 1
+        v0 = float(variants[j - 1]) if variants is not None else 0.0
+        v1 = float(variants[j]) if variants is not None else 0.0
         if ndx >= ndy:
             xerr = ndy << 1
             yerr = xerr - (ndx << 1)
             err = xerr - ndx
+            dvar = 0.0 if ndx == 0 else (v1 - v0) / ndx
+            var = v0
             if j != n - 1:
                 ndx -= 1
             while ndx >= 0:
                 put(iy, ix)
+                var += dvar
                 ix += xstep
                 if err > 0:
                     iy += ystep
@@ -132,10 +143,13 @@ def _bresenham_line_burn(img, pts, value, y0, x0, merge_add):
             yerr = ndx << 1
             xerr = yerr - (ndy << 1)
             err = yerr - ndy
+            dvar = 0.0 if ndy == 0 else (v1 - v0) / ndy
+            var = v0
             if j != n - 1:
                 ndy -= 1
             while ndy >= 0:
                 put(iy, ix)
+                var += dvar
                 iy += ystep
                 if err > 0:
                     ix += xstep
@@ -184,6 +198,47 @@ def rasterize_np(
     return img
 
 
+def rasterize_z_np(
+    geoms_wkb: list,
+    values: list,
+    meta: RasterMeta,
+    merge_add: bool = False,
+    init: float = 0.0,
+) -> np.ndarray:
+    """Single-node BURN_VALUE_FROM=Z oracle: the same collection + burn
+    discipline as the distributed kernel over the whole raster at once
+    (fills = first-vertex Z constant; lines = interpolated variants;
+    points = own Z)."""
+    img = np.full((meta.height, meta.width), init, dtype=np.float64)
+    for buf, v in zip(geoms_wkb, values):
+        geom = wkb.parse_wkb_z(bytes(buf))
+        polys = ops._polygons_of(geom)
+        value = float(v)
+        if polys:
+            fill_value = value + float(polys[0][0][0, 2])
+            for rings in polys:
+                prings = []
+                for r in rings:
+                    x, y = meta.geo_to_px(r[:, 0], r[:, 1])
+                    prings.append(np.column_stack([x, y]))
+                _scanline_burn(img, prings, fill_value, 0, 0, merge_add)
+        for pt in ops._points_of(geom):
+            pxx, pyy = meta.geo_to_px(pt[0], pt[1])
+            ix, iy = int(np.floor(pxx)), int(np.floor(pyy))
+            if 0 <= iy < meta.height and 0 <= ix < meta.width:
+                if merge_add:
+                    img[iy, ix] += value + float(pt[2])
+                else:
+                    img[iy, ix] = value + float(pt[2])
+        for line in [l for l in ops._lines_of(geom) if not polys]:
+            line = np.asarray(line, dtype=float)[::-1]
+            x, y = meta.geo_to_px(line[:, 0], line[:, 1])
+            pts = np.column_stack([x, y])
+            _bresenham_line_burn(img, pts, value, 0, 0, merge_add,
+                                 variants=line[:, 2])
+    return img
+
+
 def rasterize(
     features: DataFrame,
     meta: RasterMeta,
@@ -194,13 +249,24 @@ def rasterize(
     merge_alg: str = "REPLACE",
     init: float = 0.0,
     band: int = 1,
+    burn_value_from_z: bool = False,
 ) -> DataFrame:
     """Distributed rasterize → float64 tiles DataFrame.
 
     Geometries are WKB in *georeferenced* coords; converted to pixel space
     via the meta geotransform. Features shuffle only to the blocks their
     envelope covers; burn order within a block follows ``fid_col``
-    (insertion order — the reference's feature iteration order)."""
+    (insertion order — the reference's feature iteration order).
+
+    ``burn_value_from_z`` (gdal_rasterize -3d / BURN_VALUE_FROM=Z,
+    alg/gdalrasterize.cpp:780-796): burn value becomes ``burn + Z``.
+    Matching GDALdllImageFilledPolygon exactly, polygon fills use the
+    geometry's FIRST vertex Z (dfVariant[0] — the reference does NOT
+    interpolate Z across fills); line burns interpolate Z along each
+    segment; points use their own Z. Not supported with all_touched
+    (the reference's AllTouched interpolation variant is out of scope)."""
+    if burn_value_from_z and all_touched:
+        raise NotImplementedError("BURN_VALUE_FROM=Z with ALL_TOUCHED")
     merge_add = merge_alg.upper() == "ADD"
     gt = meta.gt
     bw, bh = meta.block_w, meta.block_h
@@ -253,27 +319,35 @@ def rasterize(
         img = np.full((h, w), init, dtype=np.float64)
         pdf = pdf[pdf["__g"].notna()].sort_values("__fid")
         for _, row in pdf.iterrows():
-            geom = wkb.parse_wkb(bytes(row.__g))
+            geom = (wkb.parse_wkb_z if burn_value_from_z else wkb.parse_wkb)(
+                bytes(row.__g)
+            )
             polys = ops._polygons_of(geom)
             value = float(row.__v)
             if polys:
+                fill_value = value
+                if burn_value_from_z:
+                    # dfVariant[0]: Z of the geometry's first collected vertex
+                    fill_value = value + float(polys[0][0][0, 2])
                 for rings in polys:
                     # geo → pixel space
                     prings = []
                     for r in rings:
                         x, y = meta.geo_to_px(r[:, 0], r[:, 1])
                         prings.append(np.column_stack([x, y]))
-                    _scanline_burn(img, prings, value, by * bh, bx * bw, merge_add)
+                    _scanline_burn(img, prings, fill_value, by * bh, bx * bw, merge_add)
                     if all_touched:
-                        _supercover_burn(img, prings, value, by * bh, bx * bw, merge_add)
-            for (x, y) in ops._points_of(geom):
+                        _supercover_burn(img, prings, fill_value, by * bh, bx * bw, merge_add)
+            for pt in ops._points_of(geom):
+                x, y = pt[0], pt[1]
+                pv = value + (float(pt[2]) if burn_value_from_z else 0.0)
                 pxx, pyy = meta.geo_to_px(x, y)
                 ix, iy = int(np.floor(pxx)), int(np.floor(pyy))
                 if by * bh <= iy < by * bh + h and bx * bw <= ix < bx * bw + w:
                     if merge_add:
-                        img[iy - by * bh, ix - bx * bw] += value
+                        img[iy - by * bh, ix - bx * bw] += pv
                     else:
-                        img[iy - by * bh, ix - bx * bw] = value
+                        img[iy - by * bh, ix - bx * bw] = pv
             for line in [l for l in ops._lines_of(geom) if not polys]:
                 # GDALCollectRingsFromGeometry pushes LineString vertices in
                 # REVERSE order (gdalrasterize.cpp wkbLineString branch) —
@@ -281,10 +355,12 @@ def rasterize(
                 line = np.asarray(line, dtype=float)[::-1]
                 x, y = meta.geo_to_px(line[:, 0], line[:, 1])
                 pts = np.column_stack([x, y])
+                variants = line[:, 2] if burn_value_from_z else None
                 if all_touched:
                     _supercover_burn(img, [pts], value, by * bh, bx * bw, merge_add)
                 else:
-                    _bresenham_line_burn(img, pts, value, by * bh, bx * bw, merge_add)
+                    _bresenham_line_burn(img, pts, value, by * bh, bx * bw,
+                                         merge_add, variants=variants)
         return pd.DataFrame(
             [(band, by, bx, h, w, img.tobytes())],
             columns=["band", "block_y", "block_x", "h", "w", "data"],
