@@ -1799,6 +1799,46 @@ def q_ogr_sql_geometry_cast(spark, sf_dir):
 
 
 @_register(
+    "ogr_sql_special_fields",
+    "SELECT * FROM (VALUES "
+    "(1, 'POLYGON', 'BRUSH(fc:#ff0000)', CAST(4000000 AS BIGINT)), "
+    "(3, 'POLYGON', NULL, CAST(500000 AS BIGINT))"
+    ") t(fid, gtype, style, area_e6) ORDER BY fid",
+)
+def q_ogr_sql_special_fields(spark, sf_dir):
+    """OGR SQL special fields (ogr/ogr_p.h:164-171;
+    autotest/ogr/ogr_sql_test.py WHERE OGR_GEOMETRY = 'POLYGON' cases):
+    OGR_GEOMETRY = uppercase getGeometryName(), OGR_STYLE = style-column
+    pass-through (NULL when absent on a feature), OGR_GEOM_AREA;
+    filterable in WHERE."""
+    from gdal_spark.geometry import wkt as _wkt
+    from gdal_spark.operators.ogr_sql import execute_sql
+
+    rows = [
+        (1, "POLYGON ((0 0,2 0,2 2,0 2,0 0))", "BRUSH(fc:#ff0000)"),
+        (2, "LINESTRING (0 0,5 0)", "PEN(c:#000000)"),
+        (3, "POLYGON ((0 0,1 0,1 1,0 0))", None),
+        (4, "POINT (3 4)", "SYMBOL(id:1)"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(_wkt.wkt_to_wkb(w)), s) for i, w, s in rows],
+        "fid INT, geometry BINARY, ogr_style STRING",
+    )
+    out = execute_sql(
+        spark,
+        "SELECT FID AS fid, OGR_GEOMETRY AS gtype, OGR_STYLE AS style, "
+        "OGR_GEOM_AREA AS a FROM t WHERE OGR_GEOMETRY = 'POLYGON' "
+        "ORDER BY FID",
+        {"t": df},
+        fid_cols={"t": "fid"},
+    )
+    return out.select(
+        "fid", "gtype", "style",
+        F.floor(F.col("a") * 1_000_000 + F.lit(0.5)).cast("long").alias("area_e6"),
+    ).orderBy("fid")
+
+
+@_register(
     "st_equals_tessellation",
     "SELECT * FROM (VALUES (1, true), (2, true), (3, false)) t(id, eq) ORDER BY id",
 )
@@ -2213,6 +2253,35 @@ def q_gpkg_roundtrip(spark, sf_dir):
 
 
 _lazy_oracle("gpkg_roundtrip", _oracle_shapefile_poly)
+
+
+@_register("fgb_poly_read")
+def q_fgb_poly_read(spark, sf_dir):
+    """FlatGeobuf WRITE → distributed READ
+    (ogr/ogrsf_frmts/flatgeobuf/; public spec at flatgeobuf.org,
+    sources/flatgeobuf.py hand-rolled flatbuffers codec): the re-read
+    layer must reproduce the same POLY goldens. Unlike shapefile/GPKG
+    the feature section is record-splittable — executors parse disjoint
+    byte ranges (mapInPandas over the offset list)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.sources.flatgeobuf import read_fgb, write_fgb
+    from gdal_spark.sources.gpkg import read_gpkg
+
+    src = read_gpkg(spark, "/root/reference/autotest/ogr/data/gpkg/poly_golden.gpkg")
+    path = _os.path.join(_tempfile.mkdtemp(prefix="fgb_"), "poly.fgb")
+    write_fgb(src.drop("fid"), path, name="poly", geometry_type="Polygon")
+    df = read_fgb(spark, path)
+    return df.select(
+        F.col("EAS_ID").cast("long").alias("eas_id"),
+        "PRFEDEA",
+        F.floor(st_area(F.col("geometry")) + F.lit(0.5)).cast("long").alias("area_m"),
+    ).orderBy("eas_id")
+
+
+_lazy_oracle("fgb_poly_read", _oracle_shapefile_poly)
 
 
 _GEOD_POLYS = [

@@ -17,7 +17,8 @@ non-standard semantics preserved (SURVEY.md §2.2-2.6):
   with 3-valued NULL logic, IN/BETWEEN/LIKE/ILIKE/IS NULL, AND/OR/NOT,
   CONCAT, SUBSTR (1-based), HSTORE_GET_VALUE, CAST
 - ORDER BY multi-key ASC/DESC, LIMIT/OFFSET, UNION ALL chains
-- special fields: FID, OGR_GEOM_AREA (ogr/ogr_p.h:164-171)
+- special fields: FID, OGR_GEOM_AREA, OGR_GEOMETRY (uppercase type
+  name), OGR_STYLE, OGR_GEOM_WKT (ogr/ogr_p.h:164-171)
 
 ``execute_sql(spark, sql, tables, fid_cols)``: ``tables`` maps layer
 name → DataFrame; ``fid_cols`` maps layer name → its FID column
@@ -489,7 +490,17 @@ def _execute_single(spark, sql, tables, fid_cols) -> DataFrame:
         if up == "OGR_GEOMETRY":  # geometry type name (ogr/ogr_p.h:166)
             from gdal_spark.functions.st import st_geometrytype
 
-            return st_geometrytype("geometry")
+            # OGRGeometry::getGeometryName() is uppercase ("POLYGON") —
+            # autotest/ogr/ogr_sql_test.py compares against that form
+            return F.upper(st_geometrytype("geometry"))
+        if up == "OGR_STYLE":
+            # OGRFeature::GetStyleString() (ogr/ogr_p.h:166 SPF_OGR_STYLE):
+            # pass-through of the table's style column when present (the
+            # usual driver mapping), NULL otherwise — filterable in WHERE
+            for c in df.columns:
+                if c.upper() == "OGR_STYLE":
+                    return F.col(c)
+            return F.lit(None).cast("string")
         if up == "OGR_GEOM_WKT":
             from gdal_spark.functions.st import st_astext
 
