@@ -135,19 +135,28 @@ def main():
         "raster_overview_checksum",
     ]
     qs = entrymod.queries()
-    for name in bench_queries:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        qtimes[name] = round(time.time() - t0, 3)
-
-    qtimes["ann_lsh_dim64_synth"] = round(ann_synth_secs(spark, 64), 3)
-    qtimes["ann_lsh_dim768_synth"] = round(ann_synth_secs(spark, 768), 3)
+    # INTERLEAVED rep rounds (VERDICT r3 next-10): the sandbox VM
+    # time-shares vCPUs, so a noise burst must hit one ROUND, not one
+    # query. Per query we report the best rep plus the full rep array.
+    qreps = int(os.environ.get("SPARK_GRAFT_BENCH_QREPS", "3"))
+    qobs: dict[str, list[float]] = {name: [] for name in bench_queries}
+    qobs["ann_lsh_dim64_synth"] = []
+    qobs["ann_lsh_dim768_synth"] = []
+    for _ in range(qreps):
+        for name in bench_queries:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            qobs[name].append(round(time.time() - t0, 3))
+        qobs["ann_lsh_dim64_synth"].append(round(ann_synth_secs(spark, 64), 3))
+        qobs["ann_lsh_dim768_synth"].append(round(ann_synth_secs(spark, 768), 3))
+    for name, arr in qobs.items():
+        qtimes[name] = min(arr)
 
     # the sandbox VM time-shares its vCPUs with other guests: identical
     # runs vary several-fold, so report the best of N reps (the
     # contention-free capacity), plus all observations for transparency
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     obs = [flagship_rows_sec(spark, n_pages) for _ in range(reps)]
     rps, el = max(obs, key=lambda t: t[0])
     qtimes["flagship_pages_pip"] = round(el, 3)
@@ -162,6 +171,7 @@ def main():
                 "all_reps_sec": [round(e, 3) for _, e in obs],
                 "pages": n_pages,
                 "queries": qtimes,
+                "query_reps": qobs,
                 "sf": sf,
                 "cpus": int(cpus),
             }

@@ -276,6 +276,65 @@ def parse_point_wkb_np(blobs) -> tuple[np.ndarray, np.ndarray]:
     return xs, ys
 
 
+def _u32_gather(flat: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Little-endian u32 at (possibly unaligned) byte positions."""
+    p = np.minimum(pos, len(flat) - 4) if len(flat) >= 4 else np.zeros_like(pos)
+    return (
+        flat[p].astype(np.int64)
+        | (flat[p + 1].astype(np.int64) << 8)
+        | (flat[p + 2].astype(np.int64) << 16)
+        | (flat[p + 3].astype(np.int64) << 24)
+    )
+
+
+def decode_polygon1_batch(blobs):
+    """Vectorized decode of the dominant real-world geometry shape —
+    little-endian single-ring Polygon WKB: one header-validation pass +
+    one fancy-index gather per Arrow batch instead of a Python parse per
+    row (the polygon analogue of the 21-byte point fast path).
+
+    Returns ``(ok, xs, ys, npts)``: ``ok`` (n,) marks rows decoded on the
+    fast path; ``xs``/``ys`` are zero-padded ``(k, max_pts)`` float64
+    arrays for those rows in input order; rows not matching the shape
+    (NULL, big-endian, multi-ring, Z, trailing bytes) are left to the
+    caller's per-row fallback."""
+    n = len(blobs)
+    if n == 0:
+        return np.zeros(0, dtype=bool), None, None, None
+    lens = np.fromiter(
+        (0 if b is None else len(b) for b in blobs), np.int64, count=n
+    )
+    cat = b"".join(bytes(b) for b in blobs if b is not None)
+    flat = np.frombuffer(cat, dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    ok = lens >= 13 + 4 * 16  # header + minimum closed ring
+    if not ok.any() or len(flat) < 13:
+        return np.zeros(n, dtype=bool), None, None, None
+    s = starts.copy()
+    s[~ok] = 0
+    b0 = flat[np.minimum(s, len(flat) - 1)]
+    gtype = _u32_gather(flat, s + 1)
+    nrings = _u32_gather(flat, s + 5)
+    npts = _u32_gather(flat, s + 9)
+    ok &= (b0 == 1) & (gtype == WKB_POLYGON) & (nrings == 1)
+    ok &= lens == 13 + 16 * npts
+    ks = np.nonzero(ok)[0]
+    if not len(ks):
+        return ok, None, None, None
+    npv = npts[ks]
+    maxp = int(npv.max())
+    idx = s[ks, None] + 13 + np.arange(maxp * 16, dtype=np.int64)[None, :]
+    np.minimum(idx, len(flat) - 1, out=idx)
+    coords = flat[idx].view("<f8")  # (k, maxp*2), fancy-index → contiguous
+    xs = np.ascontiguousarray(coords[:, 0::2])
+    ys = np.ascontiguousarray(coords[:, 1::2])
+    pad = np.arange(maxp)[None, :] >= npv[:, None]
+    xs[pad] = 0.0
+    ys[pad] = 0.0
+    return ok, xs, ys, npv
+
+
 def polygon_rings(buf: bytes) -> list[np.ndarray]:
     """All rings of a Polygon/MultiPolygon WKB as a flat list of (N,2) arrays,
     exterior-first per part."""

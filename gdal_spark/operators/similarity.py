@@ -382,12 +382,70 @@ def _ivf_d2_batch(V: np.ndarray, C: np.ndarray) -> np.ndarray:
     3-D tensor stays ≤ _IVF_CHUNK_ELEMS elements."""
     n, d = V.shape
     c = len(C)
-    step = max(1, _IVF_CHUNK_ELEMS // max(1, c * d))
     out = np.empty((n, c), dtype=np.float64)
-    for i in range(0, n, step):
-        blk = V[i : i + step]
-        out[i : i + step] = ((blk[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    # cache-chunked centroid loop: (R, d) temporaries reused via out=
+    # buffers. (V - C[j])² is IEEE-identical to (C[j] - v)² — subtraction
+    # negates exactly, the square kills the sign — and the contiguous
+    # axis-1 reduction has the same pairwise order as the oracle's
+    # (C - v)².sum(axis=1) rows.
+    R = max(1, _IVF_CHUNK_ELEMS // (16 * max(1, d)))
+    buf = np.empty((min(R, n), d), dtype=np.float64)
+    for i in range(0, n, R):
+        Vc = V[i : i + R]
+        m = len(Vc)
+        b = buf[:m]
+        for j in range(c):
+            np.subtract(Vc, C[j], out=b)
+            np.multiply(b, b, out=b)
+            out[i : i + m, j] = b.sum(axis=1)
     return out
+
+
+def _ivf_d2_fast(V: np.ndarray, C: np.ndarray):
+    """BLAS fast path: ``|v|² − 2·V@Cᵀ + |c|²`` plus a per-row error
+    bound. The expansion rounds differently from the exact
+    squared-difference form, so callers must refine rows whose decision
+    margin is within the bound (``_ivf_d2_batch`` is the exact
+    arbiter) — that keeps argmin/argsort BIT-IDENTICAL to the oracle at
+    matmul speed (the exact form is 3 full memory passes; the matmul is
+    one BLAS call)."""
+    G = V @ C.T
+    v2 = np.einsum("ij,ij->i", V, V)
+    c2 = np.einsum("ij,ij->i", C, C)
+    d2 = v2[:, None] - 2.0 * G + c2[None, :]
+    # loose forward-error bound on both forms combined
+    err = 1e-12 * (v2[:, None] + c2[None, :] + 2.0 * np.abs(G)) + 1e-300
+    return d2, err
+
+
+def _ivf_assign_fast(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Bit-exact nearest-centroid assignment at BLAS speed: matmul
+    distances decide rows whose best-vs-second margin exceeds the error
+    bound; the rare ambiguous rows re-run the exact kernel."""
+    d2, err = _ivf_d2_fast(V, C)
+    idx = d2.argmin(axis=1)
+    if d2.shape[1] > 1:
+        part = np.partition(d2, 1, axis=1)
+        margin = part[:, 1] - part[:, 0]
+        amb = margin <= 2.0 * err.max(axis=1)
+        if amb.any():
+            idx[amb] = _ivf_d2_batch(V[amb], C).argmin(axis=1)
+    return idx
+
+
+def _ivf_probe_fast(V: np.ndarray, C: np.ndarray, n_probe: int) -> np.ndarray:
+    """Bit-exact n_probe-nearest cells at BLAS speed (stable ascending
+    order): rows with any near-tie among the leading n_probe+1 cells are
+    re-ranked by the exact kernel."""
+    d2, err = _ivf_d2_fast(V, C)
+    order = np.argsort(d2, axis=1, kind="stable")
+    k = min(n_probe + 1, d2.shape[1])
+    lead = np.take_along_axis(d2, order[:, :k], axis=1)
+    gaps = np.diff(lead, axis=1)
+    amb = (gaps <= 2.0 * err.max(axis=1)[:, None]).any(axis=1)
+    if amb.any():
+        order[amb] = np.argsort(_ivf_d2_batch(V[amb], C), axis=1, kind="stable")
+    return order[:, :n_probe]
 
 
 def ivf_topk(
@@ -433,14 +491,14 @@ def ivf_topk(
         V = np.asarray(list(v), dtype=np.float64)
         if V.size == 0:
             return pd.Series([], dtype="int32")
-        return pd.Series(_ivf_d2_batch(V, C).argmin(axis=1).astype(np.int32))
+        return pd.Series(_ivf_assign_fast(V, C).astype(np.int32))
 
     @F.pandas_udf("array<int>")
     def probe(v: pd.Series) -> pd.Series:
         V = np.asarray(list(v), dtype=np.float64)
         if V.size == 0:
             return pd.Series([], dtype="object")
-        order = np.argsort(_ivf_d2_batch(V, C), axis=1, kind="stable")[:, :n_probe]
+        order = _ivf_probe_fast(V, C, n_probe)
         return pd.Series([[int(i) for i in row] for row in order])
 
     c = corpus.select(F.col(corpus_id).alias("id"), F.col(vec_col).alias("cv")).withColumn(

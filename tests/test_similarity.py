@@ -203,3 +203,30 @@ def test_ivf_topk_recall_and_exactness(spark):
         got_sets.setdefault(r.qid, set()).add(r.id)
     hits = sum(len(got_sets[q_] & exact_sets[q_]) for q_ in exact_sets)
     assert hits / (3 * len(exact_sets)) >= 0.8
+
+
+def test_ivf_fast_paths_bit_equal():
+    """BLAS matmul assign/probe with exact near-tie refinement must be
+    bit-identical to the per-row oracle, including exact ties (duplicate
+    centroids) and the degenerate 1-centroid case."""
+    import numpy as np
+
+    from gdal_spark.operators.similarity import (
+        _ivf_assign_fast,
+        _ivf_probe_fast,
+        ivf_assign_np,
+        ivf_probe_np,
+    )
+
+    rng = np.random.default_rng(2)
+    V = rng.standard_normal((3000, 96))
+    C = rng.standard_normal((12, 96))
+    C[7] = C[3]  # exact tie: first-occurrence index must win
+    assert np.array_equal(
+        _ivf_assign_fast(V, C), np.array([ivf_assign_np(x, C) for x in V])
+    )
+    assert np.array_equal(
+        _ivf_probe_fast(V, C, 5), np.array([ivf_probe_np(x, C, 5) for x in V])
+    )
+    C1 = rng.standard_normal((1, 96))
+    assert np.array_equal(_ivf_assign_fast(V, C1), np.zeros(len(V), dtype=np.int64))
