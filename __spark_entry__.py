@@ -2284,6 +2284,41 @@ def q_fgb_poly_read(spark, sf_dir):
 _lazy_oracle("fgb_poly_read", _oracle_shapefile_poly)
 
 
+@_register("csv_geom_read")
+def q_csv_geom_read(spark, sf_dir):
+    """CSV-with-geometry driver (ogr/ogrsf_frmts/csv/ WKT-column
+    convention, sources/csv_geom.py): POLY goldens through a CSV
+    round-trip — Spark's native splittable csv scan + WKT→WKB column."""
+    import csv as _csv
+    import os as _os
+    import tempfile as _tempfile
+
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.geometry import wkt as _wkt
+    from gdal_spark.sources.csv_geom import read_csv_geometry
+    from gdal_spark.sources.gpkg import read_gpkg
+
+    src = read_gpkg(spark, "/root/reference/autotest/ogr/data/gpkg/poly_golden.gpkg")
+    rows = sorted(
+        (int(r["EAS_ID"]), r["PRFEDEA"], _wkt.wkb_to_wkt(bytes(r["geometry"])))
+        for r in src.collect()
+    )
+    path = _os.path.join(_tempfile.mkdtemp(prefix="csvgeom_"), "poly.csv")
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["EAS_ID", "PRFEDEA", "WKT"])
+        w.writerows(rows)
+    df = read_csv_geometry(spark, path)
+    return df.select(
+        F.col("EAS_ID").cast("long").alias("eas_id"),
+        "PRFEDEA",
+        F.floor(st_area(F.col("geometry")) + F.lit(0.5)).cast("long").alias("area_m"),
+    ).orderBy("eas_id")
+
+
+_lazy_oracle("csv_geom_read", _oracle_shapefile_poly)
+
+
 _GEOD_POLYS = [
     (1, [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]),
     (2, [(10.0, 45.0), (12.5, 45.0), (11.0, 47.0), (10.0, 45.0)]),
@@ -2978,6 +3013,39 @@ def _oracle_st_simplify_preserve() -> str:
 
 
 _lazy_oracle("st_simplify_preserve", _oracle_st_simplify_preserve)
+
+
+@_register(
+    "st_distance3d",
+    # 3-4-5 in (dx,dz) (the reference's own test value, ogr_geom.py:4010);
+    # point->vertical segment closest at t=0.5; skew seg-seg gap 1; 2-D
+    # inputs -> -1 (ogrgeometry.cpp:3704-3707 contract)
+    "SELECT * FROM (VALUES "
+    "(1, CAST(5000000 AS BIGINT)), (2, CAST(2000000 AS BIGINT)), "
+    "(3, CAST(1000000 AS BIGINT)), (4, CAST(-1000000 AS BIGINT))"
+    ") t(id, d_e6) ORDER BY id",
+)
+def q_st_distance3d(spark, sf_dir):
+    """OGR_G_Distance3D (ogr_geometry.h:594; SFCGAL-backed in the
+    reference): exact point/line 3-D distances, −1 for 2-D inputs."""
+    from gdal_spark.functions.st import st_distance3d
+    from gdal_spark.geometry.wkb import linestring_wkb_z, point_wkb, point_wkb_z
+
+    rows = [
+        (1, point_wkb_z(1, 1, 1), point_wkb_z(4, 1, 5)),
+        (2, point_wkb_z(0, 2, 1), linestring_wkb_z([(0, 0, 0), (0, 0, 2)])),
+        (3, linestring_wkb_z([(0, 0, 0), (2, 0, 0)]),
+         linestring_wkb_z([(1, 1, 1), (1, -1, 1)])),
+        (4, point_wkb(0, 0), point_wkb(3, 4)),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(a), bytearray(b)) for i, a, b in rows],
+        "id INT, a BINARY, b BINARY",
+    )
+    return df.select(
+        "id",
+        F.floor(st_distance3d("a", "b") * 1_000_000 + F.lit(0.5)).cast("long").alias("d_e6"),
+    ).orderBy("id")
 
 
 def _pansharpen_fixture():

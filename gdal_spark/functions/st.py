@@ -298,6 +298,24 @@ def st_simplify(g: pd.Series, tol: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(DoubleType())
+def st_distance3d(a: pd.Series, b: pd.Series) -> pd.Series:
+    """OGR_G_Distance3D (ogrgeometry.cpp:3693): −1.0 unless BOTH inputs
+    are 3-D (the reference's exact contract); point/line support exact,
+    polygon surfaces out of scope (SFCGAL-only in the reference too)."""
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        x, y = bytes(x), bytes(y)
+        if not (wkb.has_z(x) and wkb.has_z(y)):
+            out.append(-1.0)
+            continue
+        out.append(ops.distance3d(wkb.parse_wkb_z(x), wkb.parse_wkb_z(y)))
+    return pd.Series(out, dtype="float64")
+
+
 @F.pandas_udf(BinaryType())
 def st_simplify_preserve_topology(g: pd.Series, tol: pd.Series) -> pd.Series:
     """OGRGeometry::SimplifyPreserveTopology (ogr_geometry.h:586, GEOS
@@ -421,6 +439,7 @@ _REGISTRY = {
     "st_symdifference": st_symdifference,
     "st_simplify": st_simplify,
     "st_simplifypreservetopology": st_simplify_preserve_topology,
+    "st_distance3d": st_distance3d,
     "st_segmentize": st_segmentize,
     "st_boundary": st_boundary,
     "st_castgeometry": st_castgeometry,

@@ -1608,6 +1608,95 @@ def simplify_preserve_topology_geom(g, tol: float):
     raise ValueError(f"unsupported geometry {name}")
 
 
+def _point_seg_d2_3d(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> float:
+    d = b - a
+    ll = float(d @ d)
+    t = 0.0 if ll == 0 else float(np.clip((p - a) @ d / ll, 0.0, 1.0))
+    v = p - (a + t * d)
+    return float(v @ v)
+
+
+def _seg_seg_d2_3d(p1, q1, p2, q2) -> float:
+    """Squared distance between 3-D segments (Ericson, Real-Time
+    Collision Detection §5.1.9 closed form with clamping)."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = float(d1 @ d1)
+    e = float(d2 @ d2)
+    f = float(d2 @ r)
+    if a == 0.0 and e == 0.0:
+        v = p1 - p2
+        return float(v @ v)
+    if a == 0.0:
+        s, t = 0.0, float(np.clip(f / e, 0.0, 1.0))
+    else:
+        c = float(d1 @ r)
+        if e == 0.0:
+            t, s = 0.0, float(np.clip(-c / a, 0.0, 1.0))
+        else:
+            b = float(d1 @ d2)
+            den = a * e - b * b
+            s = float(np.clip((b * f - c * e) / den, 0.0, 1.0)) if den != 0 else 0.0
+            t = (b * s + f) / e
+            if t < 0.0:
+                t, s = 0.0, float(np.clip(-c / a, 0.0, 1.0))
+            elif t > 1.0:
+                t, s = 1.0, float(np.clip((b - c) / a, 0.0, 1.0))
+    v = (p1 + s * d1) - (p2 + t * d2)
+    return float(v @ v)
+
+
+def _prims3(g):
+    """3-D primitives (points, segments) of a Z geometry for Distance3D.
+    Polygonal inputs are out of scope (the reference's Distance3D is the
+    optional-SFCGAL surface distance, ogrgeometry.cpp:3693)."""
+    name, payload = g
+    pts, segs = [], []
+    if name == "Point":
+        pts.append(np.asarray(payload, dtype=float))
+    elif name == "LineString":
+        c = np.asarray(payload, dtype=float)
+        if len(c) == 1:
+            pts.append(c[0])
+        for i in range(len(c) - 1):
+            segs.append((c[i], c[i + 1]))
+    elif name in ("MultiPoint", "MultiLineString", "GeometryCollection"):
+        for child in payload:
+            p2, s2 = _prims3(child)
+            pts.extend(p2)
+            segs.extend(s2)
+    else:
+        raise NotImplementedError(
+            f"Distance3D over {name}: surface distance requires SFCGAL "
+            "even in the reference (ogrgeometry.cpp:3713)"
+        )
+    return pts, segs
+
+
+def distance3d(ga, gb) -> float:
+    """OGRGeometry::Distance3D (ogr_geometry.h:594) for point/line
+    geometries: exact min over point-point / point-segment /
+    segment-segment 3-D distances. The reference returns −1 for 2-D
+    inputs — callers enforce that contract (functions/st.py checks the
+    WKB Z flag before parsing)."""
+    pa, sa = _prims3(ga)
+    pb, sb = _prims3(gb)
+    best = np.inf
+    for p in pa:
+        for q in pb:
+            v = p - q
+            best = min(best, float(v @ v))
+        for a, b in sb:
+            best = min(best, _point_seg_d2_3d(p, a, b))
+    for a, b in sa:
+        for q in pb:
+            best = min(best, _point_seg_d2_3d(q, a, b))
+        for c, d in sb:
+            best = min(best, _seg_seg_d2_3d(a, b, c, d))
+    return float(np.sqrt(best)) if np.isfinite(best) else -1.0
+
+
 def _line_self_intersects(pts: np.ndarray, closed: bool) -> bool:
     n = len(pts) - 1  # segments
     if n < 2:

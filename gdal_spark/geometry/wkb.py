@@ -276,6 +276,16 @@ def parse_point_wkb_np(blobs) -> tuple[np.ndarray, np.ndarray]:
     return xs, ys
 
 
+def has_z(buf: bytes) -> bool:
+    """True when the root WKB type carries Z (ISO +1000/+3000 or the
+    EWKB 0x80000000 flag) — OGRGeometry::Is3D() on ingest."""
+    fmt = "<" if buf[0] == 1 else ">"
+    g = struct.unpack_from(fmt + "I", buf, 1)[0]
+    if g & 0x80000000:
+        return True
+    return ((g & 0x0FFFFFFF) // 1000) in (1, 3)
+
+
 def _u32_gather(flat: np.ndarray, pos: np.ndarray) -> np.ndarray:
     """Little-endian u32 at (possibly unaligned) byte positions."""
     p = np.minimum(pos, len(flat) - 4) if len(flat) >= 4 else np.zeros_like(pos)
