@@ -59,5 +59,7 @@ def test_ogr_geometry_special_fields(spark):
         {"poly": poly},
         {"poly": "fid"},
     ).collect()[0]
-    assert row.gtype == "Polygon"
+    # uppercase getGeometryName() form — the reference's autotests filter
+    # WHERE OGR_GEOMETRY = 'POLYGON' (autotest/ogr/ogr_sql_test.py:1552)
+    assert row.gtype == "POLYGON"
     assert row.wktxt.startswith("POLYGON ((")
