@@ -190,7 +190,29 @@ def st_area(a: pd.Series) -> pd.Series:
         if res[i] is None and b is not None:
             res[i] = ops.area(wkb.parse_wkb(b))
     return pd.Series(res, dtype="float64")
-st_length = _unary_udf(ops.length, DoubleType())
+@F.pandas_udf(DoubleType())
+def st_length(a: pd.Series) -> pd.Series:
+    """OGR_G_Length with a vectorized fast path for plain LineStrings:
+    batched decode + elementwise segment norms; the per-length grouped
+    reductions sum the same contiguous data as ops.length — bit-equal."""
+    blobs = [None if b is None else bytes(b) for b in a]
+    res: list = [None] * len(blobs)
+    ok, xs, ys, npv = wkb.decode_linestring_batch(blobs)
+    ks = np.nonzero(ok)[0]
+    if len(ks):
+        dx = xs[:, 1:] - xs[:, :-1]
+        dy = ys[:, 1:] - ys[:, :-1]
+        seg = np.sqrt(dx * dx + dy * dy)
+        vals = np.empty(len(ks))
+        for m in np.unique(npv):
+            rows = np.nonzero(npv == m)[0]
+            vals[rows] = seg[rows, : m - 1].sum(axis=1)
+        for j, i in enumerate(ks):
+            res[i] = float(vals[j])
+    for i, b in enumerate(blobs):
+        if res[i] is None and b is not None:
+            res[i] = ops.length(wkb.parse_wkb(b))
+    return pd.Series(res, dtype="float64")
 st_distance = _pair_udf(ops.distance, DoubleType())
 
 # -- accessors / codecs ------------------------------------------------------

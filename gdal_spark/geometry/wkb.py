@@ -345,6 +345,45 @@ def decode_polygon1_batch(blobs):
     return ok, xs, ys, npv
 
 
+def decode_linestring_batch(blobs):
+    """Vectorized decode of little-endian 2-D LineString WKBs (the
+    linear analogue of decode_polygon1_batch). Returns (ok, xs, ys,
+    npts) with zero-padded (k, max_pts) coordinate arrays."""
+    n = len(blobs)
+    if n == 0:
+        return np.zeros(0, dtype=bool), None, None, None
+    lens = np.fromiter(
+        (0 if b is None else len(b) for b in blobs), np.int64, count=n
+    )
+    cat = b"".join(bytes(b) for b in blobs if b is not None)
+    flat = np.frombuffer(cat, dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    ok = lens >= 9 + 2 * 16
+    if not ok.any() or len(flat) < 9:
+        return np.zeros(n, dtype=bool), None, None, None
+    s = starts.copy()
+    s[~ok] = 0
+    b0 = flat[np.minimum(s, len(flat) - 1)]
+    gtype = _u32_gather(flat, s + 1)
+    npts = _u32_gather(flat, s + 5)
+    ok &= (b0 == 1) & (gtype == WKB_LINESTRING) & (lens == 9 + 16 * npts)
+    ks = np.nonzero(ok)[0]
+    if not len(ks):
+        return ok, None, None, None
+    npv = npts[ks]
+    maxp = int(npv.max())
+    idx = s[ks, None] + 9 + np.arange(maxp * 16, dtype=np.int64)[None, :]
+    np.minimum(idx, len(flat) - 1, out=idx)
+    coords = flat[idx].view("<f8")
+    xs = np.ascontiguousarray(coords[:, 0::2])
+    ys = np.ascontiguousarray(coords[:, 1::2])
+    pad = np.arange(maxp)[None, :] >= npv[:, None]
+    xs[pad] = 0.0
+    ys[pad] = 0.0
+    return ok, xs, ys, npv
+
+
 def polygon_rings(buf: bytes) -> list[np.ndarray]:
     """All rings of a Polygon/MultiPolygon WKB as a flat list of (N,2) arrays,
     exterior-first per part."""
