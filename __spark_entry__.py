@@ -2957,6 +2957,98 @@ def _oracle_rasterize_z() -> str:
 _lazy_oracle("rasterize_burn_z", _oracle_rasterize_z)
 
 
+def _byte_tiles(tiles, meta):
+    """GDALCopyWord double→byte (gcore/gdal_priv_templates.hpp:252):
+    trunc(clamp(v + 0.5, 0, 255)) applied per tile, distributed."""
+    import pandas as _pd
+
+    def conv(iterator):
+        for pdf in iterator:
+            rows = []
+            for r in pdf.itertuples():
+                a = np.frombuffer(r.data, dtype="float64").reshape(int(r.h), int(r.w))
+                b = np.floor(np.clip(a + 0.5, 0.0, 255.0)).astype(np.uint8)
+                rows.append((int(r.band), int(r.block_y), int(r.block_x),
+                             int(r.h), int(r.w), b.tobytes()))
+            yield _pd.DataFrame(
+                rows, columns=["band", "block_y", "block_x", "h", "w", "data"])
+
+    from gdal_spark.raster.model import TILES_SCHEMA
+    return tiles.mapInPandas(conv, TILES_SCHEMA)
+
+
+@_register("rasterize_all_touched_golden")
+def q_rasterize_all_touched_golden(spark, sf_dir):
+    """Reference golden: ALL_TOUCHED over the cutline.csv polygons on a
+    12×12 byte raster, burn 220 → checksum 121
+    (autotest/alg/rasterize.py:85-127 test_rasterize_2), through the
+    EXACT GDALdllImageLineAllTouched boundary walk + fill."""
+    from gdal_spark.geometry import wkt as _wkt
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta
+    from gdal_spark.raster.rasterize import rasterize
+
+    polys = [
+        "POLYGON((6.25 1.25,7.25 1.25,7.25 2.25,6.25 2.25,6.25 1.25))",
+        "POLYGON((4.25 4.25,6.25 4.25,6.25 6.25,4.25 6.25,4.25 4.25))",
+        "POLYGON((1.001 1.001,3.999 3.999,3.2 1.6,1.001 1.001))",
+    ]
+    meta = RasterMeta(width=12, height=12, dtype="float64", block_w=8, block_h=8,
+                      gt=(0.0, 1.0, 0.0, 12.0, 0.0, -1.0))
+    feats = spark.createDataFrame(
+        [(i, bytearray(_wkt.wkt_to_wkb(p)), 220.0) for i, p in enumerate(polys)],
+        "fid INT, geometry BINARY, burn DOUBLE",
+    )
+    out = rasterize(feats, meta, fid_col="fid", all_touched=True)
+    bmeta = RasterMeta(width=12, height=12, dtype="uint8", block_w=8, block_h=8,
+                       gt=meta.gt)
+    cs = int(checksum_df(_byte_tiles(out, meta), bmeta))
+    return spark.createDataFrame([(cs,)], "checksum BIGINT")
+
+
+_ORACLES["rasterize_all_touched_golden"] = "SELECT CAST(121 AS BIGINT) AS checksum"
+
+
+@_register("rasterize_burn_z_golden")
+def q_rasterize_burn_z_golden(spark, sf_dir):
+    """Reference golden: BURN_VALUE_FROM=Z over 3 Z polygons (one with a
+    hole) + 2 Z linestrings on a 100×100 byte raster, burn 10 →
+    checksum 15037 (autotest/alg/rasterize.py:135-182 test_rasterize_3)."""
+    from gdal_spark.geometry.wkb import linestring_wkb_z, polygon_wkb_z
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta
+    from gdal_spark.raster.rasterize import rasterize
+
+    geoms = [
+        polygon_wkb_z([(1020, 1030, 40), (1020, 1045, 30), (1050, 1045, 20),
+                       (1050, 1030, 35), (1020, 1030, 40)]),
+        polygon_wkb_z([(1010, 1046, 85), (1015, 1055, 35), (1055, 1060, 26),
+                       (1054, 1048, 35), (1010, 1046, 85)]),
+        polygon_wkb_z(
+            [(1020, 1076, 190), (1025, 1085, 35), (1065, 1090, 26),
+             (1064, 1078, 35), (1020, 1076, 190)],
+            holes=[[(1023, 1079, 5), (1061, 1081, 35), (1062, 1087, 26),
+                    (1028, 1082, 35), (1023, 1079, 85)]],
+        ),
+        linestring_wkb_z([(1005, 1000, 10), (1100, 1050, 120)]),
+        linestring_wkb_z([(1000, 1000, 150), (1095, 1050, -5), (1080, 1080, 200)]),
+    ]
+    meta = RasterMeta(width=100, height=100, dtype="float64", block_w=50, block_h=50,
+                      gt=(1000.0, 1.0, 0.0, 1100.0, 0.0, -1.0))
+    feats = spark.createDataFrame(
+        [(i, bytearray(g), 10.0) for i, g in enumerate(geoms)],
+        "fid INT, geometry BINARY, burn DOUBLE",
+    )
+    out = rasterize(feats, meta, fid_col="fid", burn_value_from_z=True)
+    bmeta = RasterMeta(width=100, height=100, dtype="uint8", block_w=50, block_h=50,
+                       gt=meta.gt)
+    cs = int(checksum_df(_byte_tiles(out, meta), bmeta))
+    return spark.createDataFrame([(cs,)], "checksum BIGINT")
+
+
+_ORACLES["rasterize_burn_z_golden"] = "SELECT CAST(15037 AS BIGINT) AS checksum"
+
+
 # star polygon whose plain-DP simplification at tol=1 SELF-INTERSECTS; the
 # preserve variant must re-add a vertex and stay valid (GEOS
 # TopologyPreservingSimplifier contract, ogr_geometry.h:586)

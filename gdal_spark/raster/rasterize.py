@@ -10,8 +10,10 @@ Scanline semantics replicate ``GDALdllImageFilledPolygon``
   ``[x_even, x_odd - 1]`` inclusive (pixel-center inclusion)
 - bottom horizontal edges fill separately; top horizontals are skipped
 - points burn at ``(floor(x), floor(y))`` (llrasterize.cpp:233+)
-- ALL_TOUCHED additionally burns every pixel traversed by the boundary
-  (Bresenham-style supercover, llrasterize.cpp:383)
+- ALL_TOUCHED burns every pixel the boundary traverses via the EXACT
+  GDALdllImageLineAllTouched grid walk (llrasterize.cpp:383-713):
+  boundary first with intersect_only=True, then the fill (skipping
+  boundary-burnt pixels under ADD — the poSetVisitedPoints handoff)
 - MERGE_ALG: REPLACE (last feature wins, feature order) or ADD
 
 Distribution: features → covering blocks via envelope math (column-side
@@ -37,10 +39,13 @@ def _scanline_burn(
     y0: int,
     x0: int,
     merge_add: bool,
+    skip_mask: np.ndarray | None = None,
 ):
     """Burn one polygon (pixel coords) into img whose top-left is global
     (y0, x0). Mirrors GDALdllImageFilledPolygon for the single-feature
-    case (bAvoidBurningSamePoints=False)."""
+    case (bAvoidBurningSamePoints=False). ``skip_mask`` (img-shaped bool)
+    marks pixels already burnt by an ALL_TOUCHED boundary pass under ADD
+    (the reference's poSetVisitedPoints handoff)."""
     h, w = img.shape
     ally = np.concatenate([r[:, 1] for r in rings])
     miny = max(int(ally.min()), y0)
@@ -77,18 +82,32 @@ def _scanline_burn(
             a = max(a, x0)
             b = min(b, x0 + w - 1)
             if a <= b:
-                if merge_add:
-                    img[y - y0, a - x0 : b - x0 + 1] += value
+                row = img[y - y0, a - x0 : b - x0 + 1]
+                if skip_mask is not None:
+                    keep = ~skip_mask[y - y0, a - x0 : b - x0 + 1]
+                    if merge_add:
+                        row[keep] += value
+                    else:
+                        row[keep] = value
+                elif merge_add:
+                    row += value
                 else:
-                    img[y - y0, a - x0 : b - x0 + 1] = value
+                    row[:] = value
         for a, b in hxs:
             a = max(a, x0)
             b = min(b, x0 + w - 1)
             if a <= b:
-                if merge_add:
-                    img[y - y0, a - x0 : b - x0 + 1] += value
+                row = img[y - y0, a - x0 : b - x0 + 1]
+                if skip_mask is not None:
+                    keep = ~skip_mask[y - y0, a - x0 : b - x0 + 1]
+                    if merge_add:
+                        row[keep] += value
+                    else:
+                        row[keep] = value
+                elif merge_add:
+                    row += value
                 else:
-                    img[y - y0, a - x0 : b - x0 + 1] = value
+                    row[:] = value
 
 
 def _bresenham_line_burn(img, pts, value, y0, x0, merge_add, variants=None):
@@ -159,26 +178,166 @@ def _bresenham_line_burn(img, pts, value, y0, x0, merge_add, variants=None):
                 ndy -= 1
 
 
-def _supercover_burn(img, rings, value, y0, x0, merge_add):
-    """ALL_TOUCHED boundary walk: burn every pixel a boundary segment
-    passes through (grid-traversal DDA, llrasterize.cpp:383 semantics)."""
+def _all_touched_burn(
+    img, pts, value, y0, x0, merge_add, raster_w, raster_h,
+    variants=None, intersect_only=False, visited=None,
+):
+    """EXACT GDALdllImageLineAllTouched (llrasterize.cpp:383-713): the
+    grid walk with the reference's vertical/horizontal special cases
+    (.01 thresholds, the 1e-4 EPSILON_INTERSECT_ONLY end-floor nudge),
+    raster-border segment clipping with variant adjustment, and the
+    avoid-burning-same-points sets for ADD mode (consecutive segments
+    share their endpoint pixel only once). ``pts`` is ONE part (ring or
+    line) in pixel coords; ``variants`` optional per-vertex Z;
+    ``visited`` an optional global (iy, ix) set that accumulates burnt
+    pixels (consulted later by the ADD fill pass)."""
+    EPS = 1e-4
     h, w = img.shape
-    for r in rings:
-        for i in range(len(r) - 1):
-            ax, ay = r[i]
-            bx, by = r[i + 1]
-            n = int(max(abs(bx - ax), abs(by - ay)) * 2) + 2
-            t = np.linspace(0.0, 1.0, n)
-            px = np.floor(ax + (bx - ax) * t).astype(np.int64)
-            py = np.floor(ay + (by - ay) * t).astype(np.int64)
-            m = (px >= x0) & (px < x0 + w) & (py >= y0) & (py < y0 + h)
-            if m.any():
-                if merge_add:
-                    # dedupe per segment to avoid double-add
-                    lin = np.unique((py[m] - y0) * w + (px[m] - x0))
-                    img.ravel()[lin] += value
+    avoid = merge_add
+    last_burnt: set = set()
+    new_burnt: set = set()
+
+    def put(iy, ix, var):
+        if visited is not None:
+            # gvBurnPoint + poSetVisitedPoints (gdalrasterize.cpp:694-698):
+            # under ADD every pixel burns at most once per geometry
+            yx = (iy, ix)
+            if merge_add and yx in visited:
+                return
+            visited.add(yx)
+        if y0 <= iy < y0 + h and x0 <= ix < x0 + w:
+            if merge_add:
+                img[iy - y0, ix - x0] += value + var
+            else:
+                img[iy - y0, ix - x0] = value + var
+
+    n = len(pts)
+    for j in range(1, n):
+        last_burnt = new_burnt
+        new_burnt = set()
+        x_a, y_a = float(pts[j - 1][0]), float(pts[j - 1][1])
+        x_b, y_b = float(pts[j][0]), float(pts[j][1])
+        v_a = float(variants[j - 1]) if variants is not None else 0.0
+        v_b = float(variants[j]) if variants is not None else 0.0
+        if (y_a < 0 and y_b < 0) or (y_a > raster_h and y_b > raster_h) \
+                or (x_a < 0 and x_b < 0) or (x_a > raster_w and x_b > raster_w):
+            continue
+        if x_a > x_b:
+            x_a, x_b = x_b, x_a
+            y_a, y_b = y_b, y_a
+            v_a, v_b = v_b, v_a
+        if abs(x_a - x_b) < 0.01:  # vertical
+            if intersect_only and abs(x_a - round(x_a)) < EPS and \
+                    abs(x_b - round(x_b)) < EPS:
+                continue
+            if y_b < y_a:
+                y_a, y_b = y_b, y_a
+                v_a, v_b = v_b, v_a
+            ix = int(np.floor(x_b))
+            iy = int(np.floor(y_a))
+            iy_end = int(np.floor(y_b - EPS))
+            if ix < 0 or ix >= raster_w:
+                continue
+            dvar = (v_b - v_a) / (y_b - y_a) if y_b - y_a > 0 else 0.0
+            if iy < 0:
+                iy = 0
+            if iy_end >= raster_h:
+                iy_end = raster_h - 1
+            var = v_a + dvar * (iy - y_a)
+            while iy <= iy_end:
+                yx = (iy, ix)
+                if not (avoid and yx in last_burnt):
+                    if avoid:
+                        new_burnt.add(yx)
+                    put(iy, ix, var if variants is not None else 0.0)
+                iy += 1
+                var += dvar
+            continue
+        dvar = (v_b - v_a) / (x_b - x_a)
+        if abs(y_a - y_b) < 0.01:  # horizontal
+            if intersect_only and abs(y_a - round(y_a)) < EPS and \
+                    abs(y_b - round(y_b)) < EPS:
+                continue
+            ix = int(np.floor(x_a))
+            iy = int(np.floor(y_a))
+            ix_end = int(np.floor(x_b - EPS))
+            if iy < 0 or iy >= raster_h:
+                continue
+            if ix < 0:
+                ix = 0
+            if ix_end >= raster_w:
+                ix_end = raster_w - 1
+            var = v_a + dvar * (ix - x_a)
+            while ix <= ix_end:
+                yx = (iy, ix)
+                if not (avoid and yx in last_burnt):
+                    if avoid:
+                        new_burnt.add(yx)
+                    put(iy, ix, var if variants is not None else 0.0)
+                ix += 1
+                var += dvar
+            continue
+        # general sloped case
+        slope = (y_b - y_a) / (x_b - x_a)
+        if x_b > raster_w:
+            y_b -= (x_b - raster_w) * slope
+            x_b = float(raster_w)
+        if x_a < 0.0:
+            y_a += (0.0 - x_a) * slope
+            v_a += dvar * (0.0 - x_a)
+            x_a = 0.0
+        if y_b > y_a:
+            if y_a < 0.0:
+                dx = (0.0 - y_a) / slope
+                x_a += dx
+                v_a += dvar * dx
+                y_a = 0.0
+            if y_b >= raster_h:
+                x_b += (y_b - raster_h) / slope
+                if x_b > raster_w:
+                    x_b = float(raster_w)
+        else:
+            if y_a >= raster_h:
+                dx = (raster_h - y_a) / slope
+                x_a += dx
+                v_a += dvar * dx
+                y_a = float(raster_h)
+            if y_b < 0.0:
+                x_b -= (y_b - 0.0) / slope
+        x, y, var = x_a, y_a, v_a
+        while 0.0 <= x < x_b:
+            ix = int(np.floor(x))
+            iy = int(np.floor(y))
+            if 0 <= iy < raster_h:
+                yx = (iy, ix)
+                if avoid:
+                    if yx not in last_burnt and yx not in new_burnt:
+                        new_burnt.add(yx)
+                        put(iy, ix, var if variants is not None else 0.0)
                 else:
-                    img[py[m] - y0, px[m] - x0] = value
+                    put(iy, ix, var if variants is not None else 0.0)
+            step_x = np.floor(x + 1.0) - x
+            step_y = step_x * slope
+            if int(np.floor(y + step_y)) == iy:
+                x += step_x
+                y += step_y
+                var += dvar * step_x
+            elif slope < 0:
+                step_y = iy - y
+                if step_y > -1e-9:
+                    step_y = -1e-9
+                step_x = step_y / slope
+                x += step_x
+                y += step_y
+                var += dvar * step_x
+            else:
+                step_y = (iy + 1) - y
+                if step_y < 1e-9:
+                    step_y = 1e-9
+                step_x = step_y / slope
+                x += step_x
+                y += step_y
+                var += dvar * step_x
 
 
 def rasterize_np(
@@ -192,9 +351,19 @@ def rasterize_np(
     """Single-node oracle: burn features (pixel-space rings) in order."""
     img = np.full((meta.height, meta.width), init, dtype=np.float64)
     for rings, v in zip(rings_list, values):
-        _scanline_burn(img, rings, v, 0, 0, merge_add)
+        visited = set() if (all_touched and merge_add) else None
         if all_touched:
-            _supercover_burn(img, rings, v, 0, 0, merge_add)
+            for r in rings:
+                _all_touched_burn(img, np.asarray(r, dtype=float), v, 0, 0,
+                                  merge_add, meta.width, meta.height,
+                                  intersect_only=True, visited=visited)
+        skip = None
+        if visited:
+            skip = np.zeros(img.shape, dtype=bool)
+            for (iy, ix) in visited:
+                if 0 <= iy < meta.height and 0 <= ix < meta.width:
+                    skip[iy, ix] = True
+        _scanline_burn(img, rings, v, 0, 0, merge_add, skip_mask=skip)
     return img
 
 
@@ -263,10 +432,8 @@ def rasterize(
     Matching GDALdllImageFilledPolygon exactly, polygon fills use the
     geometry's FIRST vertex Z (dfVariant[0] — the reference does NOT
     interpolate Z across fills); line burns interpolate Z along each
-    segment; points use their own Z. Not supported with all_touched
-    (the reference's AllTouched interpolation variant is out of scope)."""
-    if burn_value_from_z and all_touched:
-        raise NotImplementedError("BURN_VALUE_FROM=Z with ALL_TOUCHED")
+    segment; points use their own Z; ALL_TOUCHED lines interpolate along
+    the exact grid walk (GDALdllImageLineAllTouched)."""
     merge_add = merge_alg.upper() == "ADD"
     gt = meta.gt
     bw, bh = meta.block_w, meta.block_h
@@ -329,15 +496,35 @@ def rasterize(
                 if burn_value_from_z:
                     # dfVariant[0]: Z of the geometry's first collected vertex
                     fill_value = value + float(polys[0][0][0, 2])
+                # reference order (gdalrasterize.cpp:723-760): ALL_TOUCHED
+                # boundary first (intersect_only=True, constant first-vertex
+                # variant) recording visited pixels under ADD; the fill then
+                # skips those pixels
+                visited = set() if (all_touched and merge_add) else None
+                ppolys = []
                 for rings in polys:
-                    # geo → pixel space
                     prings = []
                     for r in rings:
                         x, y = meta.geo_to_px(r[:, 0], r[:, 1])
                         prings.append(np.column_stack([x, y]))
-                    _scanline_burn(img, prings, fill_value, by * bh, bx * bw, merge_add)
-                    if all_touched:
-                        _supercover_burn(img, prings, fill_value, by * bh, bx * bw, merge_add)
+                    ppolys.append(prings)
+                if all_touched:
+                    for prings in ppolys:
+                        for r_px in prings:
+                            _all_touched_burn(
+                                img, r_px, fill_value, by * bh, bx * bw,
+                                merge_add, meta.width, meta.height,
+                                intersect_only=True, visited=visited,
+                            )
+                skip = None
+                if visited:
+                    skip = np.zeros(img.shape, dtype=bool)
+                    for (iy, ix) in visited:
+                        if by * bh <= iy < by * bh + h and bx * bw <= ix < bx * bw + w:
+                            skip[iy - by * bh, ix - bx * bw] = True
+                for prings in ppolys:
+                    _scanline_burn(img, prings, fill_value, by * bh, bx * bw,
+                                   merge_add, skip_mask=skip)
             for pt in ops._points_of(geom):
                 x, y = pt[0], pt[1]
                 pv = value + (float(pt[2]) if burn_value_from_z else 0.0)
@@ -357,7 +544,11 @@ def rasterize(
                 pts = np.column_stack([x, y])
                 variants = line[:, 2] if burn_value_from_z else None
                 if all_touched:
-                    _supercover_burn(img, [pts], value, by * bh, bx * bw, merge_add)
+                    _all_touched_burn(
+                        img, pts, value, by * bh, bx * bw, merge_add,
+                        meta.width, meta.height, variants=variants,
+                        visited=set() if merge_add else None,
+                    )
                 else:
                     _bresenham_line_burn(img, pts, value, by * bh, bx * bw,
                                          merge_add, variants=variants)
