@@ -2319,6 +2319,106 @@ def q_csv_geom_read(spark, sf_dir):
 _lazy_oracle("csv_geom_read", _oracle_shapefile_poly)
 
 
+def _mvt_fixture_layers(i: int):
+    """Deterministic per-tile MVT fixture: two park polygons (one with a
+    hole) and one road linestring, coordinates varying with tile index."""
+    import numpy as np
+
+    ext = np.array(
+        [(0, 0), (50 + i, 0), (50 + i, 40 + 2 * i), (0, 40 + 2 * i), (0, 0)], float
+    )
+    hole = np.array([(10, 10), (10, 20), (20 + i, 20), (20 + i, 10), (10, 10)], float)
+    tri = np.array([(100, 100), (140, 100), (120, 130), (100, 100)], float) + i
+    line = np.array([(0, i), (30, i), (30, 30 + i)], float)
+    return [
+        {
+            "name": "parks",
+            "extent": 4096,
+            "version": 2,
+            "features": [
+                (i * 10 + 1, ("Polygon", [ext, hole]), {"kind": "park", "rank": i}),
+                (i * 10 + 2, ("Polygon", [tri]), {}),
+            ],
+        },
+        {
+            "name": "roads",
+            "extent": 4096,
+            "version": 2,
+            "features": [(i * 10 + 3, ("LineString", line), {"cls": str(i)})],
+        },
+    ]
+
+
+@_register("mvt_tileset_read")
+def q_mvt_tileset_read(spark, sf_dir):
+    """Mapbox Vector Tile tileset WRITE → distributed READ
+    (ogr/ogrsf_frmts/mvt/; public spec 2.1 at
+    github.com/mapbox/vector-tile-spec; sources/mvt.py hand-rolled
+    protobuf + winding-rule ring assembly): write a deterministic 4-tile
+    tileset, decode it distributed (executors parse disjoint tile
+    subsets), aggregate per-layer feature counts, fid sums and doubled
+    shoelace areas. Oracle is an independent pure-Python shoelace over
+    the same fixture coordinates."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.sources.mvt import read_mvt, write_mvt_tile
+
+    d = _tempfile.mkdtemp(prefix="mvt_")
+    paths = []
+    for i in range(4):
+        p = _os.path.join(d, f"tile_{i}.pbf")
+        write_mvt_tile(p, _mvt_fixture_layers(i))
+        paths.append(p)
+    df = read_mvt(spark, paths)
+    return (
+        df.groupBy("layer")
+        .agg(
+            F.count("*").cast("long").alias("n_feat"),
+            F.sum("fid").cast("long").alias("fid_sum"),
+            F.floor(F.sum(st_area(F.col("geometry"))) * 2 + F.lit(0.5))
+            .cast("long")
+            .alias("area2"),
+        )
+        .orderBy("layer")
+    )
+
+
+def _oracle_mvt_tileset() -> str:
+    # independent re-derivation: pure-Python shoelace on the fixture
+    # coordinates, never touching the codec or the ST_ kernels
+    def sho2(ring):  # doubled absolute shoelace, exact in ints
+        s = 0
+        for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+            s += int(x0) * int(y1) - int(x1) * int(y0)
+        return abs(s)
+
+    per = {"parks": [0, 0, 0], "roads": [0, 0, 0]}
+    for i in range(4):
+        for lyr in _mvt_fixture_layers(i):
+            st = per[lyr["name"]]
+            for fid, (gname, payload), _props in lyr["features"]:
+                st[0] += 1
+                st[1] += fid
+                if gname == "Polygon":
+                    rings = [[(float(x), float(y)) for x, y in r] for r in payload]
+                    st[2] += sho2(rings[0]) - sum(sho2(r) for r in rings[1:])
+    rows = ", ".join(
+        f"('{k}', CAST({v[0]} AS BIGINT), CAST({v[1]} AS BIGINT), "
+        f"CAST({v[2]} AS BIGINT))"
+        for k, v in sorted(per.items())
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(layer, n_feat, fid_sum, area2) ORDER BY layer"
+    )
+
+
+_lazy_oracle("mvt_tileset_read", _oracle_mvt_tileset)
+
+
 _GEOD_POLYS = [
     (1, [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]),
     (2, [(10.0, 45.0), (12.5, 45.0), (11.0, 47.0), (10.0, 45.0)]),
