@@ -2419,6 +2419,107 @@ def _oracle_mvt_tileset() -> str:
 _lazy_oracle("mvt_tileset_read", _oracle_mvt_tileset)
 
 
+def _osm_fixture():
+    """Deterministic OSM fixture: 120 nodes on a lattice, 15 ways of
+    varying length, 2 relations (ignored by the line assembly)."""
+    nodes = [
+        (
+            1000 + i,
+            -1.5 + (i % 12) * 0.0001,
+            47.25 + (i // 12) * 0.00005,
+            {"amenity": "cafe"} if i % 7 == 0 else {},
+        )
+        for i in range(120)
+    ]
+    ways = [
+        (
+            5000 + w,
+            [1000 + (w * 11 + 3 * j) % 120 for j in range(3 + w % 5)],
+            {"highway": f"class{w % 3}"},
+        )
+        for w in range(15)
+    ]
+    rels = [
+        (9000, [("way", 5000, "outer"), ("way", 5001, "inner")],
+         {"type": "multipolygon"}),
+        (9001, [("node", 1003, "stop")], {"type": "route"}),
+    ]
+    return nodes, ways, rels
+
+
+@_register("osm_pbf_ways")
+def q_osm_pbf_ways(spark, sf_dir):
+    """OSM PBF blob-splittable READ + distributed way assembly
+    (ogr/ogrsf_frmts/osm/osm_parser.cpp ReadDenseNodes:571 + the node-db
+    way resolution in ogrosmdatasource.cpp; public PBF spec): write a
+    deterministic multi-blob fixture, read it back distributed (blob
+    offset index → executors inflate disjoint blobs), resolve each
+    way's node refs via posexplode⋈nodes (the Spark-native replacement
+    for the reference's on-disk node hash), and emit per-way vertex
+    counts and exact 1e-7-degree integer coordinate sums."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from gdal_spark.sources.osm import osm_ways_to_lines, read_osm_pbf, write_osm_pbf
+
+    nodes, ways, rels = _osm_fixture()
+    path = _os.path.join(_tempfile.mkdtemp(prefix="osm_"), "fixture.osm.pbf")
+    write_osm_pbf(path, nodes, ways, rels, block_nodes=32)
+    osm = read_osm_pbf(spark, path)
+
+    lines = osm_ways_to_lines(osm).select(
+        "id", "n_pts", F.col("tags")["highway"].alias("highway")
+    )
+    nd = osm.filter(F.col("kind") == "node").select(
+        F.col("id").alias("nid"),
+        F.floor(F.col("lon") * 1e7 + F.lit(0.5)).cast("long").alias("lon7"),
+        F.floor(F.col("lat") * 1e7 + F.lit(0.5)).cast("long").alias("lat7"),
+    )
+    ex = osm.filter(F.col("kind") == "way").select(
+        F.col("id").alias("way_id"), F.explode("refs").alias("ref")
+    )
+    sums = (
+        ex.join(nd, ex.ref == nd.nid)
+        .groupBy("way_id")
+        .agg(
+            F.sum("lon7").cast("long").alias("lon7_sum"),
+            F.sum("lat7").cast("long").alias("lat7_sum"),
+        )
+    )
+    return (
+        lines.join(sums, lines.id == sums.way_id)
+        .select("id", "n_pts", "highway", "lon7_sum", "lat7_sum")
+        .orderBy("id")
+    )
+
+
+def _oracle_osm_pbf_ways() -> str:
+    # independent re-derivation: resolve refs in pure Python over the
+    # fixture lists, quantizing coords exactly as the PBF stores them
+    # (nanodegrees // granularity → 1e-7-degree ints)
+    nodes, ways, _rels = _osm_fixture()
+    coord7 = {
+        nid: (round(lon * 1e9) // 100, round(lat * 1e9) // 100)
+        for nid, lon, lat, _t in nodes
+    }
+    rows = []
+    for wid, refs, tags in ways:
+        lon7 = sum(coord7[r][0] for r in refs)
+        lat7 = sum(coord7[r][1] for r in refs)
+        rows.append(
+            f"(CAST({wid} AS BIGINT), {len(refs)}, '{tags['highway']}', "
+            f"CAST({lon7} AS BIGINT), CAST({lat7} AS BIGINT))"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(id, n_pts, highway, lon7_sum, lat7_sum) ORDER BY id"
+    )
+
+
+_lazy_oracle("osm_pbf_ways", _oracle_osm_pbf_ways)
+
+
 _GEOD_POLYS = [
     (1, [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]),
     (2, [(10.0, 45.0), (12.5, 45.0), (11.0, 47.0), (10.0, 45.0)]),

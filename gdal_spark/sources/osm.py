@@ -1,0 +1,423 @@
+"""OpenStreetMap PBF reader/writer (reference driver
+``ogr/ogrsf_frmts/osm/`` — parser ``osm_parser.cpp`` ReadDenseNodes:571,
+ReadWays/ReadRelations, blob framing ReadBlobHeader; the wire format is
+the public PBF spec at wiki.openstreetmap.org/wiki/PBF_Format, protobuf
+hand-rolled since no protobuf package ships in this container).
+
+File layout: repeated ``[int32-BE header_len][BlobHeader][Blob]``.
+
+- BlobHeader: type=1 (string ``OSMHeader``/``OSMData``), datasize=3
+- Blob: raw=1 bytes | raw_size=2 varint + zlib_data=3 bytes
+- OSMData blob inflates to PrimitiveBlock:
+  stringtable=1 (repeated ``s``=1 bytes, entry 0 unused/empty),
+  primitivegroup=2 (repeated), granularity=17 (default 100),
+  lat_offset=19, lon_offset=20 (nanodegrees)
+- PrimitiveGroup: nodes=1, dense=2, ways=3, relations=4
+- DenseNodes: id=1 (packed sint64 DELTA), lat=8 / lon=9 (packed sint64
+  DELTA), keys_vals=10 (packed int32, ``0``-terminated run per node)
+- Way: id=1 (int64), keys=2 / vals=3 (packed uint32 stringtable ids),
+  refs=8 (packed sint64 DELTA)
+- Relation: id=1, keys=2 / vals=3, roles_sid=8 (packed int32),
+  memids=9 (packed sint64 DELTA), types=10 (packed enum
+  0=NODE 1=WAY 2=RELATION)
+
+Coordinate recovery (osm_parser.cpp compatible):
+``lon = 1e-9 * (lon_offset + granularity * lon_raw)``.
+
+Scale shape: the blob framing makes a planet file BLOCK-SPLITTABLE —
+the driver reads only the slim ``[len][BlobHeader]`` frames
+(seek-skipping every blob body) to build an offset index, then
+executors inflate+decode disjoint blob subsets via ``mapInPandas``.
+That replaces the reference's single-threaded streaming passes
+(ogrosmdatasource.cpp interleaved-reading state machine) with an
+embarrassingly parallel scan; way-geometry assembly, which the
+reference does through a custom on-disk node hash
+(ogrosmdatasource.cpp node-db), becomes an ordinary shuffle join
+(:func:`osm_ways_to_lines`).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark.sources.mvt import (
+    _enc_field,
+    _enc_len,
+    _enc_uvarint,
+    _fields,
+    _uvarint,
+    _zigzag_dec,
+    _zigzag_enc,
+)
+
+_MEMBER_TYPES = ("node", "way", "relation")
+
+
+# ---------------------------------------------------------------------------
+# packed scalar helpers
+# ---------------------------------------------------------------------------
+
+
+def _packed_varints(buf: bytes) -> list[int]:
+    out = []
+    pos = 0
+    while pos < len(buf):
+        v, pos = _uvarint(buf, pos)
+        out.append(v)
+    return out
+
+
+def _packed_sint_delta(buf: bytes) -> list[int]:
+    """Packed sint64 field where successive values are deltas."""
+    out = []
+    acc = 0
+    for raw in _packed_varints(buf):
+        acc += _zigzag_dec(raw)
+        out.append(acc)
+    return out
+
+
+def _enc_packed(fid: int, values) -> bytes:
+    body = b"".join(_enc_uvarint(v) for v in values)
+    return _enc_len(fid, body)
+
+
+def _enc_packed_sint_delta(fid: int, values) -> bytes:
+    prev = 0
+    enc = bytearray()
+    for v in values:
+        enc += _enc_uvarint(_zigzag_enc(int(v) - prev))
+        prev = int(v)
+    return _enc_len(fid, bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# write (fixture builder / sink)
+# ---------------------------------------------------------------------------
+
+
+class _StringTable:
+    def __init__(self):
+        self._ids = {"": 0}
+        self._list = [""]
+
+    def add(self, s: str) -> int:
+        i = self._ids.get(s)
+        if i is None:
+            i = len(self._list)
+            self._ids[s] = i
+            self._list.append(s)
+        return i
+
+    def encode(self) -> bytes:
+        return b"".join(_enc_len(1, s.encode("utf-8")) for s in self._list)
+
+
+def _wrap_blob(kind: str, payload: bytes, compress: bool) -> bytes:
+    if compress:
+        blob = _enc_field(2, 0) + _enc_uvarint(len(payload))
+        blob += _enc_len(3, zlib.compress(payload))
+    else:
+        blob = _enc_len(1, payload)
+    header = _enc_len(1, kind.encode("ascii"))
+    header += _enc_field(3, 0) + _enc_uvarint(len(blob))
+    return struct.pack(">i", len(header)) + header + blob
+
+
+def _tags_kv(st: _StringTable, tags: dict) -> tuple[list[int], list[int]]:
+    keys, vals = [], []
+    for k, v in tags.items():
+        keys.append(st.add(str(k)))
+        vals.append(st.add(str(v)))
+    return keys, vals
+
+
+def write_osm_pbf(
+    path: str,
+    nodes,
+    ways=(),
+    relations=(),
+    block_nodes: int = 8000,
+    block_ways: int = 8000,
+    compress: bool = True,
+    granularity: int = 100,
+) -> int:
+    """Write an OSM PBF file. ``nodes``: iterable of
+    ``(id, lon_deg, lat_deg, tags_dict)``; ``ways``: ``(id, [node_refs],
+    tags_dict)``; ``relations``: ``(id, [(member_type, ref, role)],
+    tags_dict)``. Returns the number of OSMData blobs written —
+    node/way lists are chunked so the fixture exercises the splittable
+    multi-blob read path even at test scale."""
+    blobs: list[bytes] = []
+
+    header = _enc_len(4, b"DenseNodes") + _enc_len(16, b"gdal_spark")
+    blobs.append(_wrap_blob("OSMHeader", header, compress))
+
+    nodes = list(nodes)
+    for i in range(0, len(nodes), block_nodes):
+        chunk = nodes[i : i + block_nodes]
+        st = _StringTable()
+        ids, lats, lons, kv = [], [], [], []
+        for nid, lon, lat, tags in chunk:
+            ids.append(int(nid))
+            lats.append(round(lat * 1e9) // granularity)
+            lons.append(round(lon * 1e9) // granularity)
+            keys, vals = _tags_kv(st, tags)
+            for k, v in zip(keys, vals):
+                kv += [k, v]
+            kv.append(0)
+        dense = (
+            _enc_packed_sint_delta(1, ids)
+            + _enc_packed_sint_delta(8, lats)
+            + _enc_packed_sint_delta(9, lons)
+            + _enc_packed(10, kv)
+        )
+        group = _enc_len(2, dense)
+        block = _enc_len(1, st.encode()) + _enc_len(2, group)
+        block += _enc_field(17, 0) + _enc_uvarint(granularity)
+        blobs.append(_wrap_blob("OSMData", block, compress))
+
+    ways = list(ways)
+    relations = list(relations)
+    for i in range(0, len(ways) + len(relations), block_ways):
+        chunk = (ways + relations)[i : i + block_ways]
+        st = _StringTable()
+        wbufs, rbufs = [], []
+        for item in chunk:
+            oid, payload, tags = item
+            keys, vals = _tags_kv(st, tags)
+            if payload and isinstance(payload[0], tuple):  # relation members
+                roles = [st.add(role) for _t, _r, role in payload]
+                memids = [int(r) for _t, r, _role in payload]
+                types = [_MEMBER_TYPES.index(t) for t, _r, _role in payload]
+                msg = _enc_field(1, 0) + _enc_uvarint(int(oid))
+                msg += _enc_packed(2, keys) + _enc_packed(3, vals)
+                msg += _enc_packed(8, roles)
+                msg += _enc_packed_sint_delta(9, memids)
+                msg += _enc_packed(10, types)
+                rbufs.append(msg)
+            else:  # way
+                msg = _enc_field(1, 0) + _enc_uvarint(int(oid))
+                msg += _enc_packed(2, keys) + _enc_packed(3, vals)
+                msg += _enc_packed_sint_delta(8, [int(r) for r in payload])
+                wbufs.append(msg)
+        group = b"".join(_enc_len(3, w) for w in wbufs)
+        group += b"".join(_enc_len(4, r) for r in rbufs)
+        block = _enc_len(1, st.encode()) + _enc_len(2, group)
+        blobs.append(_wrap_blob("OSMData", block, compress))
+
+    with open(path, "wb") as f:
+        for b in blobs:
+            f.write(b)
+    return len(blobs) - 1
+
+
+# ---------------------------------------------------------------------------
+# read
+# ---------------------------------------------------------------------------
+
+
+def scan_blob_index(path: str) -> list[tuple[str, int, int]]:
+    """Driver-side index pass: read ONLY the [len][BlobHeader] frames,
+    seek-skipping every blob body. Returns (type, blob_offset, blob_size)
+    per blob — O(#blobs) tiny reads regardless of file size."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            raw = f.read(4)
+            if len(raw) < 4:
+                break
+            (hlen,) = struct.unpack(">i", raw)
+            hdr = f.read(hlen)
+            btype, dsize = "", 0
+            for fid, _wire, v in _fields(hdr):
+                if fid == 1:
+                    btype = v.decode("ascii")
+                elif fid == 3:
+                    dsize = v
+            out.append((btype, f.tell(), dsize))
+            f.seek(dsize, 1)
+    return out
+
+
+def _inflate_blob(buf: bytes) -> bytes:
+    raw = None
+    zdata = None
+    for fid, _wire, v in _fields(buf):
+        if fid == 1:
+            raw = v
+        elif fid == 3:
+            zdata = v
+    if raw is not None:
+        return raw
+    if zdata is not None:
+        return zlib.decompress(zdata)
+    raise ValueError("Blob has neither raw nor zlib_data")
+
+
+def _decode_block(buf: bytes):
+    """PrimitiveBlock → row tuples
+    (kind, id, lon, lat, refs, members, tags)."""
+    strings: list[str] = []
+    groups: list[bytes] = []
+    gran, lat_off, lon_off = 100, 0, 0
+    for fid, _wire, v in _fields(buf):
+        if fid == 1:
+            strings = [
+                sv.decode("utf-8")
+                for sfid, _w, sv in _fields(v)
+                if sfid == 1
+            ]
+        elif fid == 2:
+            groups.append(v)
+        elif fid == 17:
+            gran = v
+        elif fid == 19:
+            lat_off = v
+        elif fid == 20:
+            lon_off = v
+
+    rows = []
+    scale = 1e-9
+    for g in groups:
+        for fid, _wire, v in _fields(g):
+            if fid == 2:  # DenseNodes
+                ids, lats, lons, kv = [], [], [], []
+                for dfid, _w, dv in _fields(v):
+                    if dfid == 1:
+                        ids = _packed_sint_delta(dv)
+                    elif dfid == 8:
+                        lats = _packed_sint_delta(dv)
+                    elif dfid == 9:
+                        lons = _packed_sint_delta(dv)
+                    elif dfid == 10:
+                        kv = _packed_varints(dv)
+                ki = 0
+                for j, nid in enumerate(ids):
+                    tags = {}
+                    while ki < len(kv) and kv[ki] != 0:
+                        tags[strings[kv[ki]]] = strings[kv[ki + 1]]
+                        ki += 2
+                    ki += 1  # skip the 0 terminator
+                    rows.append((
+                        "node",
+                        nid,
+                        scale * (lon_off + gran * lons[j]),
+                        scale * (lat_off + gran * lats[j]),
+                        None,
+                        None,
+                        tags or None,
+                    ))
+            elif fid == 3:  # Way
+                wid, keys, vals, refs = 0, [], [], []
+                for wfid, _w, wv in _fields(v):
+                    if wfid == 1:
+                        wid = wv
+                    elif wfid == 2:
+                        keys = _packed_varints(wv)
+                    elif wfid == 3:
+                        vals = _packed_varints(wv)
+                    elif wfid == 8:
+                        refs = _packed_sint_delta(wv)
+                tags = {strings[k]: strings[x] for k, x in zip(keys, vals)}
+                rows.append(("way", wid, None, None, refs, None, tags or None))
+            elif fid == 4:  # Relation
+                rid, keys, vals, roles, memids, types = 0, [], [], [], [], []
+                for rfid, _w, rv in _fields(v):
+                    if rfid == 1:
+                        rid = rv
+                    elif rfid == 2:
+                        keys = _packed_varints(rv)
+                    elif rfid == 3:
+                        vals = _packed_varints(rv)
+                    elif rfid == 8:
+                        roles = _packed_varints(rv)
+                    elif rfid == 9:
+                        memids = _packed_sint_delta(rv)
+                    elif rfid == 10:
+                        types = _packed_varints(rv)
+                tags = {strings[k]: strings[x] for k, x in zip(keys, vals)}
+                members = [
+                    (_MEMBER_TYPES[t], m, strings[r])
+                    for t, m, r in zip(types, memids, roles)
+                ]
+                rows.append(("relation", rid, None, None, None, members, tags or None))
+    return rows
+
+
+_OSM_SCHEMA = (
+    "kind STRING, id LONG, lon DOUBLE, lat DOUBLE, refs ARRAY<LONG>, "
+    "members ARRAY<STRUCT<mtype: STRING, ref: LONG, role: STRING>>, "
+    "tags MAP<STRING,STRING>"
+)
+
+
+def read_osm_pbf(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed OSM PBF read: one unified entity DataFrame
+    (kind ∈ node/way/relation). Executors inflate and decode disjoint
+    blob subsets; only the slim blob index touches the driver."""
+    index = [
+        (off, size)
+        for btype, off, size in scan_blob_index(path)
+        if btype == "OSMData"
+    ]
+    if not index:
+        return spark.createDataFrame([], _OSM_SCHEMA)
+    pdf = spark.createDataFrame(
+        [(path, off, size) for off, size in index],
+        "path STRING, off LONG, size LONG",
+    ).repartition(min(len(index), spark.sparkContext.defaultParallelism))
+
+    def scan(iterator):
+        for chunk in iterator:
+            rows = []
+            for p, off, size in zip(chunk["path"], chunk["off"], chunk["size"]):
+                with open(p, "rb") as f:
+                    f.seek(int(off))
+                    rows += _decode_block(_inflate_blob(f.read(int(size))))
+            yield pd.DataFrame(
+                rows,
+                columns=["kind", "id", "lon", "lat", "refs", "members", "tags"],
+            )
+
+    return pdf.mapInPandas(scan, _OSM_SCHEMA)
+
+
+def osm_ways_to_lines(osm: DataFrame, geom_col: str = "geometry") -> DataFrame:
+    """Assemble way geometries: the reference resolves each way's node
+    refs through a custom on-disk node hash (ogrosmdatasource.cpp); the
+    Spark-native shape is posexplode(refs) ⋈ nodes on node id, then a
+    per-way ordered rebuild — one shuffle on the 8-byte node id, one on
+    way id, no driver state. Output: (id, n_pts, tags, geometry WKB
+    LineString)."""
+    nodes = osm.filter(F.col("kind") == "node").select("id", "lon", "lat")
+    ways = osm.filter(F.col("kind") == "way").select("id", "refs", "tags")
+    exploded = ways.select(
+        F.col("id").alias("way_id"), F.posexplode("refs").alias("pos", "ref")
+    )
+    joined = exploded.join(nodes, exploded.ref == nodes.id, "inner").select(
+        "way_id", "pos", "lon", "lat"
+    )
+    pts = joined.groupBy("way_id").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "lon", "lat"))).alias("pts")
+    )
+
+    def build(iterator):
+        from gdal_spark.geometry.wkb import linestring_wkb
+
+        for chunk in iterator:
+            out = []
+            for wid, pts_ in zip(chunk["way_id"], chunk["pts"]):
+                coords = [(p["lon"], p["lat"]) for p in pts_]
+                out.append((wid, len(coords), linestring_wkb(coords)))
+            yield pd.DataFrame(out, columns=["id", "n_pts", geom_col])
+
+    lines = pts.mapInPandas(
+        build, f"id LONG, n_pts INT, {geom_col} BINARY"
+    )
+    return lines.join(ways.select("id", "tags"), "id", "left")
