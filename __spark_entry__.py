@@ -635,6 +635,39 @@ def q_doc_fingerprint(spark, sf_dir):
     return analysis.fingerprint(d).select("doc_id", "fp").orderBy("doc_id")
 
 
+_RM = analysis.repetition_metrics_sql("text")
+
+
+@_register(
+    "repetition_metrics",
+    f"""
+    WITH tw AS (
+      SELECT doc_id, CAST(MAX(c) AS INT) AS top_word_n FROM (
+        SELECT doc_id, COUNT(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS word
+          FROM documents) AS words
+        GROUP BY doc_id, word) AS freq
+      GROUP BY doc_id)
+    SELECT d.doc_id, {_RM['n_words']} AS n_words, {_RM['dup2']} AS dup2,
+           {_RM['dup3']} AS dup3, tw.top_word_n
+    FROM documents d JOIN tw ON d.doc_id = tw.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_repetition_metrics(spark, sf_dir):
+    """Gopher repetition quality filters (Rae et al. 2021 — public
+    paper): duplicate word 2-/3-gram counts and top-word frequency per
+    document, all as map-only JVM column expressions (top_word_n via
+    sort_array + longest equal-run fold — no wordcount shuffle). The
+    oracle derives top_word_n through the classic unnest → GROUP BY
+    wordcount instead, so the two engines agree via different plans."""
+    d = _t(spark, sf_dir, "documents")
+    return analysis.repetition_metrics(d).select(
+        "doc_id", "n_words", "dup2", "dup3", "top_word_n"
+    ).orderBy("doc_id")
+
+
 # -- 6. embedding similarity -------------------------------------------------
 
 @_register(

@@ -102,6 +102,74 @@ def quality_metrics_sql(text_expr: str) -> dict[str, str]:
     }
 
 
+def _ngrams(w: Column, n_words: Column, k: int) -> Column:
+    """Word k-grams as strings; empty array when the doc is shorter than k.
+    Guarded slices (Spark sequence/slice over short arrays misbehave —
+    see CLAUDE.md)."""
+    parts = [F.slice(w, 1 + i, n_words - (k - 1)) for i in range(k)]
+    g = parts[0]
+    for p in parts[1:]:
+        g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(n_words >= k, g).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1,
+    public paper): per-document duplicate word-n-gram counts and the
+    largest single-word frequency. All integer outputs:
+
+    - n_words: whitespace token count
+    - dup2 / dup3: (total − distinct) word 2-/3-grams — the numerator of
+      the "fraction of duplicate n-grams" filter
+    - top_word_n: occurrences of the most frequent word — numerator of
+      the "fraction of chars in top word" style filters
+
+    Everything stays a per-row JVM column expression (NO shuffle, unlike
+    the naive explode → groupBy(doc, word) wordcount shape): top_word_n
+    comes from sort_array + longest equal-adjacent run via a single
+    ``aggregate`` fold, so at corpus scale the op is a map-only pass."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(w)
+    g2 = _ngrams(w, n, 2)
+    g3 = _ngrams(w, n, 3)
+    ws = F.sort_array(w)
+    eq = F.zip_with(
+        F.slice(ws, 1, n - 1),
+        F.slice(ws, 2, n - 1),
+        lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    run = F.aggregate(
+        F.when(n >= 2, eq).otherwise(F.array().cast("array<int>")),
+        F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
+        lambda acc, x: F.struct(
+            F.when(x == 1, acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["best"], F.when(x == 1, acc["cur"] + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return (
+        df.withColumn("n_words", n)
+        .withColumn("dup2", F.size(g2) - F.size(F.array_distinct(g2)))
+        .withColumn("dup3", F.size(g3) - F.size(F.array_distinct(g3)))
+        .withColumn("top_word_n", run)
+    )
+
+
+def repetition_metrics_sql(text_expr: str) -> dict[str, str]:
+    """DuckDB expressions matching :func:`repetition_metrics` (the
+    top_word_n oracle is emitted separately — it needs an unnest join)."""
+    w = f"string_split_regex(trim({text_expr}), '\\s+')"
+    g2 = f"[{w}[i] || ' ' || {w}[i+1] FOR i IN range(1, len({w}))]"
+    g3 = f"[{w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2] FOR i IN range(1, len({w}) - 1)]"
+    return {
+        "n_words": f"CAST(len({w}) AS INT)",
+        "dup2": f"CAST(len({g2}) - len(list_distinct({g2})) AS INT)",
+        "dup3": f"CAST(len({g3}) - len(list_distinct({g3})) AS INT)",
+    }
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
     """Order-sensitive polynomial rolling hash over words:
 

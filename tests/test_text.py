@@ -208,3 +208,31 @@ def test_dedup_clusters_components(spark):
     assert out[10] == out[11] == out[12] == 10
     assert out[20] == out[21] == 20
     assert out[5] == 5 and out[29] == 29  # singletons keep their own id
+
+
+def test_repetition_metrics_edges(spark):
+    """Gopher repetition counts: dup n-grams and top-word run on short,
+    uniform, and repetitive docs (incl. n < k edge guards)."""
+    from gdal_spark.text.analysis import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "solo"),
+            (2, "x x x x"),
+            (3, "a b a b c"),
+            (4, "p q"),
+            (5, "one two three four"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.dup2, r.dup3, r.top_word_n)
+        for r in repetition_metrics(df).collect()
+    }
+    assert got[1] == (1, 0, 0, 1)
+    # "x x x x": 3 identical 2-grams -> dup2=2; 2 identical 3-grams -> dup3=1
+    assert got[2] == (4, 2, 1, 4)
+    # "a b a b c": 2-grams [ab, ba, ab, bc] -> dup2=1; 3-grams distinct
+    assert got[3] == (5, 1, 0, 2)
+    assert got[4] == (2, 0, 0, 1)
+    assert got[5] == (4, 0, 0, 1)
