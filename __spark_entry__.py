@@ -2553,6 +2553,107 @@ def _oracle_osm_pbf_ways() -> str:
 _lazy_oracle("osm_pbf_ways", _oracle_osm_pbf_ways)
 
 
+def _osm_mp_fixture():
+    """Multipolygon-relation fixture at integer-degree coords. Relation
+    300: square outer SPLIT across two ways (one stored reversed) with a
+    square hole, PLUS a separate triangle outer → 2 polygons, 1 hole.
+    Relation 301: single closed pentagon way. Returns (nodes, ways,
+    rels, ring definitions for the oracle)."""
+    grid = {
+        1: (0.0, 0.0), 2: (10.0, 0.0), 3: (10.0, 10.0), 4: (0.0, 10.0),
+        5: (2.0, 2.0), 6: (8.0, 2.0), 7: (8.0, 8.0), 8: (2.0, 8.0),
+        9: (20.0, 0.0), 10: (30.0, 0.0), 11: (25.0, 9.0),
+        12: (40.0, 0.0), 13: (46.0, 0.0), 14: (48.0, 5.0),
+        15: (43.0, 9.0), 16: (38.0, 5.0),
+    }
+    nodes = [(nid, lon, lat, {}) for nid, (lon, lat) in grid.items()]
+    ways = [
+        (100, [1, 2, 3], {}),        # square half A
+        (101, [1, 4, 3], {}),        # square half B (reversed orientation)
+        (102, [5, 6, 7, 8, 5], {}),  # hole
+        (103, [9, 10, 11, 9], {}),   # triangle
+        (104, [12, 13, 14, 15, 16, 12], {}),  # pentagon
+    ]
+    rels = [
+        (300, [("way", 100, "outer"), ("way", 101, "outer"),
+               ("way", 102, "inner"), ("way", 103, "outer")],
+         {"type": "multipolygon"}),
+        (301, [("way", 104, "outer")], {"type": "boundary"}),
+    ]
+    rings = {  # per relation: [(exterior, [holes])] in original coords
+        300: [
+            ([grid[i] for i in (1, 2, 3, 4, 1)],
+             [[grid[i] for i in (5, 6, 7, 8, 5)]]),
+            ([grid[i] for i in (9, 10, 11, 9)], []),
+        ],
+        301: [([grid[i] for i in (12, 13, 14, 15, 16, 12)], [])],
+    }
+    return nodes, ways, rels, rings
+
+
+@_register("osm_multipolygon_assembly")
+def q_osm_multipolygon_assembly(spark, sf_dir):
+    """OSM multipolygon relation assembly (ogrosmdatasource.cpp
+    multipolygon build; sources/osm.py osm_relations_to_multipolygons):
+    member ways stitched end-to-end into closed rings (one arrives
+    reversed), holes nested by ray-cast containment, one applyInPandas
+    group per relation. Areas compare exactly: integer-degree coords →
+    doubled shoelace is integral, so area×5e5 is an exact BIGINT."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.sources.osm import (
+        osm_relations_to_multipolygons,
+        read_osm_pbf,
+        write_osm_pbf,
+    )
+
+    nodes, ways, rels, _rings = _osm_mp_fixture()
+    path = _os.path.join(_tempfile.mkdtemp(prefix="osmmp_"), "mp.osm.pbf")
+    write_osm_pbf(path, nodes, ways, rels, block_nodes=8)
+    mp = osm_relations_to_multipolygons(read_osm_pbf(spark, path))
+    return mp.select(
+        "id",
+        "n_polys",
+        "n_holes",
+        "n_pts",
+        F.floor(st_area(F.col("geometry")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("area_e6"),
+    ).orderBy("id")
+
+
+def _oracle_osm_mp() -> str:
+    # independent re-derivation from the ORIGINAL ring definitions (the
+    # stitcher never runs): integer doubled shoelace × 5e5 = area_e6
+    def sho2(ring):
+        s = 0
+        for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+            s += int(x0) * int(y1) - int(x1) * int(y0)
+        return abs(s)
+
+    _n, _w, _r, rings = _osm_mp_fixture()
+    rows = []
+    for rid in sorted(rings):
+        polys = rings[rid]
+        n_holes = sum(len(h) for _e, h in polys)
+        n_pts = sum(len(e) + sum(len(x) for x in h) for e, h in polys)
+        area2 = sum(sho2(e) - sum(sho2(x) for x in h) for e, h in polys)
+        rows.append(
+            f"(CAST({rid} AS BIGINT), {len(polys)}, {n_holes}, {n_pts}, "
+            f"CAST({area2 * 500000} AS BIGINT))"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(id, n_polys, n_holes, n_pts, area_e6) ORDER BY id"
+    )
+
+
+_lazy_oracle("osm_multipolygon_assembly", _oracle_osm_mp)
+
+
 _GEOD_POLYS = [
     (1, [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]),
     (2, [(10.0, 45.0), (12.5, 45.0), (11.0, 47.0), (10.0, 45.0)]),

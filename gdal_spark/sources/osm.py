@@ -388,24 +388,30 @@ def read_osm_pbf(spark: SparkSession, path: str) -> DataFrame:
     return pdf.mapInPandas(scan, _OSM_SCHEMA)
 
 
-def osm_ways_to_lines(osm: DataFrame, geom_col: str = "geometry") -> DataFrame:
-    """Assemble way geometries: the reference resolves each way's node
-    refs through a custom on-disk node hash (ogrosmdatasource.cpp); the
-    Spark-native shape is posexplode(refs) ⋈ nodes on node id, then a
-    per-way ordered rebuild — one shuffle on the 8-byte node id, one on
-    way id, no driver state. Output: (id, n_pts, tags, geometry WKB
-    LineString)."""
+def _way_coords(osm: DataFrame) -> DataFrame:
+    """(way_id, pts) with pts the ordered vertex structs: the reference
+    resolves each way's node refs through a custom on-disk node hash
+    (ogrosmdatasource.cpp); the Spark-native shape is posexplode(refs)
+    ⋈ nodes on node id, then a per-way ordered rebuild — one shuffle on
+    the 8-byte node id, one on way id, no driver state."""
     nodes = osm.filter(F.col("kind") == "node").select("id", "lon", "lat")
-    ways = osm.filter(F.col("kind") == "way").select("id", "refs", "tags")
+    ways = osm.filter(F.col("kind") == "way").select("id", "refs")
     exploded = ways.select(
         F.col("id").alias("way_id"), F.posexplode("refs").alias("pos", "ref")
     )
     joined = exploded.join(nodes, exploded.ref == nodes.id, "inner").select(
         "way_id", "pos", "lon", "lat"
     )
-    pts = joined.groupBy("way_id").agg(
+    return joined.groupBy("way_id").agg(
         F.sort_array(F.collect_list(F.struct("pos", "lon", "lat"))).alias("pts")
     )
+
+
+def osm_ways_to_lines(osm: DataFrame, geom_col: str = "geometry") -> DataFrame:
+    """Assemble way geometries (see :func:`_way_coords` for the join
+    shape). Output: (id, n_pts, tags, geometry WKB LineString)."""
+    ways = osm.filter(F.col("kind") == "way").select("id", "refs", "tags")
+    pts = _way_coords(osm)
 
     def build(iterator):
         from gdal_spark.geometry.wkb import linestring_wkb
@@ -421,3 +427,102 @@ def osm_ways_to_lines(osm: DataFrame, geom_col: str = "geometry") -> DataFrame:
         build, f"id LONG, n_pts INT, {geom_col} BINARY"
     )
     return lines.join(ways.select("id", "tags"), "id", "left")
+
+
+def osm_relations_to_multipolygons(
+    osm: DataFrame, geom_col: str = "geometry"
+) -> DataFrame:
+    """OSM multipolygon/boundary relation assembly (reference:
+    ogrosmdatasource.cpp multipolygon relation build — member ways are
+    stitched end-to-end into closed rings; ``inner`` members become
+    holes of the outer ring that contains them).
+
+    Spark shape: relations posexplode(members) ⋈ way coordinate arrays
+    (one shuffle on way id), then ONE applyInPandas group per relation —
+    each relation is tiny while the relation fleet is huge, so the
+    per-group Python stitcher parallelizes across the corpus exactly
+    like the reference's per-relation assembly loop, minus its global
+    node database.
+
+    Output: (id, n_polys, n_holes, n_pts, tags, geometry WKB
+    MultiPolygon). Unclosed ring sets raise (matching the strictness of
+    polygonize's ring assembler rather than OGR's salvage heuristics).
+    """
+    rels = osm.filter(
+        (F.col("kind") == "relation")
+        & F.col("tags")["type"].isin("multipolygon", "boundary")
+    ).select(F.col("id").alias("rel_id"), "members", "tags")
+    memb = rels.select(
+        "rel_id", F.posexplode("members").alias("mpos", "m")
+    ).filter(F.col("m")["mtype"] == "way").select(
+        "rel_id",
+        "mpos",
+        F.col("m")["ref"].alias("way_id"),
+        F.col("m")["role"].alias("role"),
+    )
+    with_coords = memb.join(_way_coords(osm), "way_id")
+
+    def assemble(key, pdf):
+        import numpy as np
+
+        from gdal_spark.geometry.kernels import points_in_ring_np
+        from gdal_spark.geometry.wkb import multipolygon_wkb
+
+        pdf = pdf.sort_values("mpos")
+        pieces = {"outer": [], "inner": []}
+        for role, pts in zip(pdf["role"], pdf["pts"]):
+            coords = [(p["lon"], p["lat"]) for p in pts]
+            pieces["inner" if role == "inner" else "outer"].append(coords)
+
+        def stitch(parts):
+            rings = []
+            unused = list(parts)
+            while unused:
+                ring = list(unused.pop(0))
+                while ring[0] != ring[-1]:
+                    for i, cand in enumerate(unused):
+                        if cand[0] == ring[-1]:
+                            ring += cand[1:]
+                            break
+                        if cand[-1] == ring[-1]:
+                            ring += cand[-2::-1]
+                            break
+                    else:
+                        raise ValueError(
+                            f"relation {key[0]}: unclosed ring (no way "
+                            f"continues from {ring[-1]})"
+                        )
+                    unused.pop(i)
+                if len(ring) < 4:
+                    raise ValueError(f"relation {key[0]}: degenerate ring")
+                rings.append(np.asarray(ring, dtype=float))
+            return rings
+
+        outers = stitch(pieces["outer"])
+        inners = stitch(pieces["inner"])
+        polys = [[o] for o in outers]
+        for h in inners:
+            for poly in polys:
+                if bool(
+                    points_in_ring_np(
+                        np.asarray([h[0, 0]]), np.asarray([h[0, 1]]), poly[0]
+                    )[0]
+                ):
+                    poly.append(h)
+                    break
+            else:
+                raise ValueError(
+                    f"relation {key[0]}: inner ring not inside any outer"
+                )
+        wkb_bytes = multipolygon_wkb([(p[0], p[1:]) for p in polys])
+        n_pts = int(sum(len(r) for p in polys for r in p))
+        return pd.DataFrame(
+            [(int(key[0]), len(polys), len(inners), n_pts, wkb_bytes)],
+            columns=["id", "n_polys", "n_holes", "n_pts", "geometry"],
+        )
+
+    out = with_coords.groupBy("rel_id").applyInPandas(
+        assemble,
+        f"id LONG, n_polys INT, n_holes INT, n_pts INT, {geom_col} BINARY",
+    )
+    return out.join(rels.select(F.col("rel_id").alias("id"), "tags"), "id", "left")

@@ -97,3 +97,42 @@ def test_ways_to_lines(spark, tmp_path):
     # way 500 refs [100..104] -> first vertex is node 100
     assert "-1.5 47.25" in w
     assert rows[0].tags["highway"] == "residential"
+
+
+def test_relations_to_multipolygons(spark, tmp_path):
+    """Two multipolygon relations: (a) square outer split across two
+    ways, one stored REVERSED, with a square hole; (b) a simple
+    triangle. Hole nesting resolved by ray-cast containment."""
+    from gdal_spark.sources.osm import osm_relations_to_multipolygons
+
+    # grid of node ids -> integer-ish coords
+    nodes = {
+        1: (0.0, 0.0), 2: (10.0, 0.0), 3: (10.0, 10.0), 4: (0.0, 10.0),
+        5: (2.0, 2.0), 6: (8.0, 2.0), 7: (8.0, 8.0), 8: (2.0, 8.0),
+        9: (20.0, 0.0), 10: (30.0, 0.0), 11: (25.0, 9.0),
+    }
+    node_rows = [(nid, lon, lat, {}) for nid, (lon, lat) in nodes.items()]
+    ways = [
+        (100, [1, 2, 3], {}),          # outer half A
+        (101, [1, 4, 3], {}),          # outer half B, needs reversal
+        (102, [5, 6, 7, 8, 5], {}),    # hole (already closed)
+        (103, [9, 10, 11, 9], {}),     # triangle outer
+    ]
+    rels = [
+        (200, [("way", 100, "outer"), ("way", 101, "outer"),
+               ("way", 102, "inner")], {"type": "multipolygon"}),
+        (201, [("way", 103, "outer")], {"type": "multipolygon"}),
+        (202, [("node", 1, "stop")], {"type": "route"}),  # filtered out
+    ]
+    path = str(tmp_path / "mp.osm.pbf")
+    write_osm_pbf(path, node_rows, ways, rels)
+    osm = read_osm_pbf(spark, path)
+    out = {r.id: r for r in osm_relations_to_multipolygons(osm).collect()}
+    assert set(out) == {200, 201}
+    assert (out[200].n_polys, out[200].n_holes, out[200].n_pts) == (1, 1, 10)
+    assert (out[201].n_polys, out[201].n_holes, out[201].n_pts) == (1, 0, 4)
+    assert out[200].tags["type"] == "multipolygon"
+    w = _wkt.wkb_to_wkt(bytes(out[200].geometry))
+    assert w.startswith("MULTIPOLYGON")
+    # hole ring must be present: contains vertex 2 2
+    assert "2 2" in w
