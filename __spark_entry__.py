@@ -2654,6 +2654,64 @@ def _oracle_osm_mp() -> str:
 _lazy_oracle("osm_multipolygon_assembly", _oracle_osm_mp)
 
 
+_POLYGONIZE_CASES = [
+    # (id, noded linework WKT, expected n_polys, expected doubled area)
+    (1, "MULTILINESTRING((0 0,0 1,1 1),(1 1,0 0))", 1, 1),
+    (2, "MULTILINESTRING((0 0,10 0,10 10,0 10,0 0),(2 2,8 2,8 8,2 8,2 2))",
+     2, 200),  # donut (100-36) + filler 36 → Σarea 100
+    (3, "MULTILINESTRING((0 0,2 0),(2 0,1 2),(1 2,0 0),(2 0,3 2),(3 2,1 2))",
+     2, 8),    # two triangles sharing an edge
+    (4, "MULTILINESTRING((0 0,1 0,1 1,0 1,0 0),(1 0,3 0),(3 0,4 0,4 1,3 1,3 0))",
+     2, 4),    # two squares joined by a cut edge (bridge dropped)
+    (5, "MULTILINESTRING((0 0,1 0),(1 0,2 0),(0 1,1 1),(1 1,2 1),(0 2,1 2),"
+        "(1 2,2 2),(0 0,0 1),(0 1,0 2),(1 0,1 1),(1 1,1 2),(2 0,2 1),(2 1,2 2))",
+     4, 8),    # fully-noded 2×2 lattice
+    (6, "MULTILINESTRING((0 0,5 0),(5 0,9 3,12 0))", 0, 0),  # dangles only
+]
+
+
+@_register("st_polygonize_cases")
+def q_st_polygonize_cases(spark, sf_dir):
+    """OGRGeometry::Polygonize (ogr/ogr_geometry.h:591 → GEOSPolygonize,
+    JTS Polygonizer planar face traversal; geometry/ops.py
+    polygonize_lines): dangle pruning, cut-edge discard, CW shells,
+    nested CCW rings as holes. The exact reference golden
+    (autotest/ogr/ogr_geos.py:613) is pinned byte-for-byte in
+    tests/test_st_functions.py; this gate checks polygon counts and
+    exact doubled shoelace areas across the structural cases."""
+    from gdal_spark.functions.st import (
+        st_area,
+        st_geomfromtext,
+        st_numgeometries,
+        st_polygonize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w, _n, _a in _POLYGONIZE_CASES], "id LONG, wkt STRING"
+    )
+    g = st_polygonize(st_geomfromtext(F.col("wkt")))
+    return df.select(
+        "id",
+        st_numgeometries(g).cast("int").alias("n_polys"),
+        F.floor(st_area(g) * 2 + F.lit(0.5)).cast("long").alias("area2"),
+    ).orderBy("id")
+
+
+def _oracle_st_polygonize() -> str:
+    rows = ", ".join(
+        f"(CAST({i} AS BIGINT), {n}, CAST({a} AS BIGINT))"
+        for i, _w, n, a in _POLYGONIZE_CASES
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(id, n_polys, area2) ORDER BY id"
+    )
+
+
+_lazy_oracle("st_polygonize_cases", _oracle_st_polygonize)
+
+
 _GEOD_POLYS = [
     (1, [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]),
     (2, [(10.0, 45.0), (12.5, 45.0), (11.0, 47.0), (10.0, 45.0)]),

@@ -375,6 +375,14 @@ st_unaryunion = _unary_udf(
 st_delaunaytriangles = _unary_udf(
     lambda g: wkt.geom_to_wkb(*ops.delaunay_triangles(g)), BinaryType()
 )
+
+
+def _polygonize_wkb(g):
+    out = ops.polygonize_geom(g)
+    return None if out is None else wkt.geom_to_wkb(*out)
+
+
+st_polygonize = _unary_udf(_polygonize_wkb, BinaryType())
 st_isvalid = _unary_udf(ops.is_valid, BooleanType())
 st_issimple = _unary_udf(ops.is_simple, BooleanType())
 st_crosses = _pair_udf(ops.crosses, BooleanType())
@@ -469,6 +477,7 @@ _REGISTRY = {
     "st_npoints": st_npoints,
     "st_unaryunion": st_unaryunion,
     "st_delaunaytriangles": st_delaunaytriangles,
+    "st_polygonize": st_polygonize,
     "st_isvalid": st_isvalid,
     "st_issimple": st_issimple,
     "st_crosses": st_crosses,

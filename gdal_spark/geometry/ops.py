@@ -1751,3 +1751,141 @@ def boundary_geom(g):
     if name == "GeometryCollection":
         return ("GeometryCollection", [boundary_geom(c) for c in payload])
     raise ValueError(f"unsupported geometry {name}")
+
+
+def polygonize_lines(lines):
+    """JTS/GEOS Polygonizer over fully-noded linework (public algorithm:
+    JTS ``operation.polygonize``): dedupe segments, iteratively prune
+    dangles (degree-1 chains), then planar face traversal — from
+    directed edge (u,v) the successor is (v,w) with w the
+    COUNTERCLOCKWISE-next neighbor of u around v (JTS "turn right" —
+    the face to the right of each directed edge). Bounded faces come
+    out CW (negative
+    shoelace) and become shells; CCW rings are hole candidates assigned
+    to the smallest distinct shell containing them, else dropped. Faces
+    that traverse any undirected edge twice (cut/bridge edges) are
+    discarded. Returns a list of ring-lists (shell first)."""
+    import math
+    from collections import defaultdict
+
+    edges = []
+    seen = set()
+    for coords in lines:
+        c = np.asarray(coords, dtype=float)
+        for i in range(len(c) - 1):
+            a = (float(c[i, 0]), float(c[i, 1]))
+            b = (float(c[i + 1, 0]), float(c[i + 1, 1]))
+            if a == b:
+                continue
+            key = (a, b) if a <= b else (b, a)
+            if key in seen:
+                continue
+            seen.add(key)
+            edges.append((a, b))
+
+    while True:  # dangle pruning
+        deg = defaultdict(int)
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        keep = [(a, b) for a, b in edges if deg[a] > 1 and deg[b] > 1]
+        if len(keep) == len(edges):
+            break
+        edges = keep
+    if not edges:
+        return []
+
+    nbrs = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    for v, ns in nbrs.items():
+        ns.sort(key=lambda w: math.atan2(w[1] - v[1], w[0] - v[0]))
+
+    visited = set()
+    shells, hole_rings = [], []
+    for a, b in edges:
+        for start in ((a, b), (b, a)):
+            if start in visited:
+                continue
+            ring = [start[0]]
+            used = defaultdict(int)
+            u, v = start
+            while True:
+                visited.add((u, v))
+                k = (u, v) if u <= v else (v, u)
+                used[k] += 1
+                ring.append(v)
+                ns = nbrs[v]
+                w = ns[(ns.index(u) + 1) % len(ns)]
+                u, v = v, w
+                if (u, v) == start:
+                    break
+            if any(n > 1 for n in used.values()) or len(ring) < 4:
+                continue  # face crosses a cut edge / degenerate
+            arr = np.asarray(ring, dtype=float)
+            sa = float(
+                np.sum(arr[:-1, 0] * arr[1:, 1] - arr[1:, 0] * arr[:-1, 1])
+            )
+            if sa < 0:
+                shells.append(arr)
+            elif sa > 0:
+                hole_rings.append(arr)
+
+    def _vset(r):
+        return frozenset(map(tuple, r[:-1]))
+
+    def _off_boundary_point(h, s):
+        """First vertex of h NOT on s's boundary (JTS
+        findEdgeRingContaining's test-point discipline); None if every
+        vertex is shared/boundary — then h is adjacent, not nested."""
+        for p in h[:-1]:
+            d2 = kernels.point_segment_dist2_np(
+                np.asarray([p[0]]),
+                np.asarray([p[1]]),
+                s[:-1, 0],
+                s[:-1, 1],
+                s[1:, 0],
+                s[1:, 1],
+            )
+            if float(np.min(d2)) > 0.0:
+                return p
+        return None
+
+    polys = [[s] for s in shells]
+    for h in hole_rings:
+        hv = _vset(h)
+        best = None
+        for poly in polys:
+            s = poly[0]
+            if _vset(s) == hv:
+                continue  # the same cycle's opposite orientation
+            p = _off_boundary_point(h, s)
+            if p is None:
+                continue
+            inside = kernels.points_in_ring_np(
+                np.asarray([p[0]]), np.asarray([p[1]]), s
+            )[0]
+            if inside:
+                area = abs(kernels.ring_area(s))
+                if best is None or area < best[0]:
+                    best = (area, poly)
+        if best is not None:
+            best[1].append(h)
+    return polys
+
+
+def polygonize_geom(g):
+    """OGRGeometry::Polygonize (ogr/ogr_geometry.h:591 → GEOSPolygonize;
+    autotest/ogr/ogr_geos.py:613 golden). Returns
+    ("GeometryCollection", [Polygon, ...]) — empty collection when the
+    noded linework closes no ring — or None when the input contains no
+    linework at all (the reference returns None for POINT EMPTY)."""
+    lines = _lines_of(g)
+    if not lines:
+        return None
+    polys = polygonize_lines(lines)
+    return (
+        "GeometryCollection",
+        [("Polygon", [np.asarray(r, dtype=float) for r in rings]) for rings in polys],
+    )

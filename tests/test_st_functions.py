@@ -244,3 +244,37 @@ def test_st_equals_collinear_tessellation(spark):
     df = spark.createDataFrame(rows, "id INT, a BINARY, b BINARY")
     got = {r.id: r.eq for r in df.select("id", st_equals("a", "b").alias("eq")).collect()}
     assert got == {1: True, 2: True, 3: False}
+
+
+def test_st_polygonize(spark):
+    """OGRGeometry::Polygonize parity (autotest/ogr/ogr_geos.py:613
+    golden, JTS Polygonizer semantics): noded linework → polygons;
+    dangles pruned, cut edges dropped, nested CCW rings become holes."""
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    rows = spark.sql(
+        """
+        SELECT st_astext(st_polygonize(st_geomfromtext(
+          'MULTILINESTRING((0 0,0 1,1 1),(1 1,0 0))'))) AS golden,
+          st_astext(st_polygonize(st_geomfromtext(
+          'MULTILINESTRING((0 0,10 0,10 10,0 10,0 0),(2 2,8 2,8 8,2 8,2 2))'))) AS nested,
+          st_astext(st_polygonize(st_geomfromtext(
+          'MULTILINESTRING((0 0,2 0),(2 0,1 2),(1 2,0 0),(2 0,3 2),(3 2,1 2))'))) AS shared,
+          st_astext(st_polygonize(st_geomfromtext(
+          'MULTILINESTRING((0 0,1 0),(1 0,2 0))'))) AS open_only,
+          st_polygonize(st_geomfromtext('POINT(1 2)')) AS pt
+        """
+    ).collect()[0]
+    # byte-exact reference golden (test_ogr_geos_polygonize)
+    assert rows.golden == "GEOMETRYCOLLECTION (POLYGON ((0 0,0 1,1 1,0 0)))"
+    assert rows.nested == (
+        "GEOMETRYCOLLECTION (POLYGON ((10 0,0 0,0 10,10 10,10 0),"
+        "(2 2,8 2,8 8,2 8,2 2)),POLYGON ((8 2,2 2,2 8,8 8,8 2)))"
+    )
+    assert rows.shared == (
+        "GEOMETRYCOLLECTION (POLYGON ((2 0,0 0,1 2,2 0)),"
+        "POLYGON ((2 0,1 2,3 2,2 0)))"
+    )
+    assert rows.open_only == "GEOMETRYCOLLECTION ()"
+    assert rows.pt is None
