@@ -2712,6 +2712,111 @@ def _oracle_st_polygonize() -> str:
 _lazy_oracle("st_polygonize_cases", _oracle_st_polygonize)
 
 
+def _footprint_fixture():
+    """Two 20×24 bands with blobs, a hole, and a diagonal bridge —
+    deterministic column math, no RNG."""
+    import numpy as np
+
+    b1 = np.zeros((20, 24), dtype=np.uint8)
+    b1[2:9, 2:10] = 5
+    b1[4:7, 4:8] = 0  # hole inside blob A
+    b1[12:18, 14:21] = 3
+    b2 = np.zeros((20, 24), dtype=np.uint8)
+    b2[5:8, 8:16] = 9  # bridges blob A toward the right
+    b2[15:17, 2:6] = 7  # isolated strip
+    return b1, b2
+
+
+@_register("raster_footprint")
+def q_raster_footprint(spark, sf_dir):
+    """gdal_footprint (apps/gdal_footprint_lib.cpp; raster/footprint.py):
+    valid-mask combine (union AND intersection modes) → distributed
+    polygonize → one MultiPolygon feature. Oracle derives the same
+    counts/areas INDEPENDENTLY: valid-pixel popcount (= exact polygon
+    area for 4-connected pixel polygons) and pure-Python BFS region/hole
+    labeling — none of the polygonize machinery runs on the oracle side."""
+    from gdal_spark.functions.st import st_area, st_geomfromtext
+    from gdal_spark.raster.footprint import footprint
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array
+
+    b1, b2 = _footprint_fixture()
+    meta = RasterMeta(width=24, height=20, dtype="uint8", block_w=7,
+                      block_h=6, nodata=0.0)
+    t1 = tiles_from_array(spark, b1, meta)
+    t2 = tiles_from_array(spark, b2, meta)
+    rows = []
+    for mode in ("intersection", "union"):
+        fp = footprint({"b1": t1, "b2": t2}, meta, geo=False,
+                       combine_bands=mode)
+        rows.append(fp.select(F.lit(mode).alias("mode"), "n_polys", "n_rings",
+                              "wkt"))
+    out = rows[0].unionByName(rows[1])
+    return out.select(
+        "mode",
+        "n_polys",
+        "n_rings",
+        F.floor(st_area(st_geomfromtext(F.col("wkt"))) * 2 + F.lit(0.5))
+        .cast("long")
+        .alias("area2"),
+    ).orderBy("mode")
+
+
+def _oracle_footprint() -> str:
+    # independent: popcount for area, BFS for regions and enclosed holes
+    def stats(valid):
+        h, w = len(valid), len(valid[0])
+        seen = [[False] * w for _ in range(h)]
+
+        def bfs(sy, sx, pred):
+            stack = [(sy, sx)]
+            seen[sy][sx] = True
+            touches_border = False
+            while stack:
+                y, x = stack.pop()
+                if y in (0, h - 1) or x in (0, w - 1):
+                    touches_border = True
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    ny, nx = y + dy, x + dx
+                    if 0 <= ny < h and 0 <= nx < w and not seen[ny][nx] \
+                            and pred(ny, nx):
+                        seen[ny][nx] = True
+                        stack.append((ny, nx))
+            return touches_border
+
+        n_polys = n_holes = 0
+        for y in range(h):
+            for x in range(w):
+                if seen[y][x]:
+                    continue
+                if valid[y][x]:
+                    bfs(y, x, lambda a, b: valid[a][b])
+                    n_polys += 1
+                else:
+                    if not bfs(y, x, lambda a, b: not valid[a][b]):
+                        n_holes += 1
+        area2 = 2 * int(sum(int(v) for row in valid for v in row))
+        return n_polys, n_polys + n_holes, area2
+
+    b1, b2 = _footprint_fixture()
+    v1 = (b1 != 0).tolist()
+    v2 = (b2 != 0).tolist()
+    h, w = len(v1), len(v1[0])
+    union = [[v1[y][x] or v2[y][x] for x in range(w)] for y in range(h)]
+    inter = [[v1[y][x] and v2[y][x] for x in range(w)] for y in range(h)]
+    rows = []
+    for mode, v in (("intersection", inter), ("union", union)):
+        np_, nr, a2 = stats(v)
+        rows.append(f"('{mode}', {np_}, {nr}, CAST({a2} AS BIGINT))")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(mode, n_polys, n_rings, area2) ORDER BY mode"
+    )
+
+
+_lazy_oracle("raster_footprint", _oracle_footprint)
+
+
 _GEOD_POLYS = [
     (1, [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]),
     (2, [(10.0, 45.0), (12.5, 45.0), (11.0, 47.0), (10.0, 45.0)]),

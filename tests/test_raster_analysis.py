@@ -311,3 +311,49 @@ def test_contour_polygons_bands(spark):
     assert got == want
     total = sum(ops.area(_wkt.parse_wkt(w)) for _, _, w in want)
     assert abs(total - 24 * 16) < 1e-9  # bands partition the raster
+
+
+def test_footprint(spark):
+    """gdal_footprint: union/intersection band combine, hole rings,
+    min_ring_area filter, convex hull."""
+    import numpy as np
+
+    from gdal_spark.raster.footprint import footprint
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array
+
+    b1 = np.zeros((12, 16), dtype=np.uint8)
+    b1[2:6, 2:7] = 5
+    b1[3:5, 3:5] = 0  # hole
+    b2 = np.zeros((12, 16), dtype=np.uint8)
+    b2[7:11, 9:14] = 9
+    b2[4:6, 4:9] = 1  # overlaps b1's blob, bridges past its right edge
+    meta = RasterMeta(width=16, height=12, dtype="uint8", block_w=6,
+                      block_h=5, nodata=0.0)
+    t1 = tiles_from_array(spark, b1, meta)
+    t2 = tiles_from_array(spark, b2, meta)
+
+    u = footprint({"b1": t1, "b2": t2}, meta, geo=False).collect()[0]
+    # union: blob A ∪ bridge (hole 3:5,3:5 partially filled by b2) + blob B
+    valid = ((b1 != 0) | (b2 != 0))
+    assert u.n_polys == 2
+    # intersection: only the overlap of the two blobs
+    i = footprint({"b1": t1, "b2": t2}, meta, geo=False,
+                  combine_bands="intersection").collect()[0]
+    both = ((b1 != 0) & (b2 != 0))
+    assert i.n_polys == 1 and i.n_rings == 1
+    # exact area parity: polygon area == valid pixel count
+    from gdal_spark.geometry import wkb as W
+    from gdal_spark.geometry import wkt as WT
+    from gdal_spark.geometry import ops
+    area_u = ops.area(W.parse_wkb(WT.wkt_to_wkb(u.wkt)))
+    assert area_u == float(valid.sum())
+    area_i = ops.area(W.parse_wkb(WT.wkt_to_wkb(i.wkt)))
+    assert area_i == float(both.sum())
+    # min_ring_area drops the remaining hole of blob A in union mode
+    u2 = footprint({"b1": t1, "b2": t2}, meta, geo=False,
+                   min_ring_area=50.0).collect()[0]
+    assert u2.n_rings == u2.n_polys
+    # convex hull mode: single ring
+    ch = footprint({"b1": t1, "b2": t2}, meta, geo=False,
+                   convex_hull=True).collect()[0]
+    assert (ch.n_polys, ch.n_rings) == (1, 1)
