@@ -240,6 +240,13 @@ def minhash_dedup_pairs(
     minhashes, scaled to integer millionths."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # The signature subtree (shingle explode → xxhash → 64-perm min agg)
+    # feeds FOUR consumers below (LSH self-join l/r + est join s1/s2) and
+    # Catalyst performs no cross-consumer common-subplan elimination — an
+    # un-materialized sigs is recomputed 4× (measured: 4 scans, 0
+    # ReusedExchange). Signatures are tiny next to the corpus (~520 B/doc
+    # at 64 hashes), so materialize once, same discipline as knn_join.
+    sigs = sigs.localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
     s1 = sigs.select(F.col("id").alias("id1"), F.col("sig").alias("sig1"))
     s2 = sigs.select(F.col("id").alias("id2"), F.col("sig").alias("sig2"))
