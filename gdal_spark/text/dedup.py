@@ -96,6 +96,12 @@ def ngram_jaccard_pairs(
     sh = shingles(df, id_col, text_col, n)
     # join on the 8-byte hash of the shingle, not the string
     sh = sh.select("id", F.xxhash64("shingle").alias("sh")).distinct()
+    # Materialize once: this subtree (string n-gram explode + distinct
+    # shuffle) feeds df_counts plus — through the cap join — sizes/a/b,
+    # and Catalyst does no cross-consumer subplan elimination (measured:
+    # 8 scan refs, 0 ReusedExchange). The downstream cap join re-runs per
+    # consumer too, but over stored 16-byte rows, not re-shingled text.
+    sh = sh.localCheckpoint(eager=True)
     if max_df is not None:
         df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
         if isinstance(max_df, float) and max_df < 1:
