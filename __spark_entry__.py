@@ -2996,6 +2996,63 @@ def q_streaming_windowed_counts(spark, sf_dir):
     )
 
 
+_STX6, _STY6 = tiling.lonlat_tile_sql(
+    sql_oracle.lon_sql("event_id"), sql_oracle.lat_sql("event_id"), 6
+)
+
+
+@_register(
+    "streaming_tile_counts",
+    f"""
+    SELECT CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day_bucket,
+           {_STX6} AS tile_x, {_STY6} AS tile_y, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2, 3 ORDER BY day_bucket, tile_x, tile_y
+    """,
+)
+def q_streaming_tile_counts(spark, sf_dir):
+    """The flagship's spatial shape on a LIVE stream: file-source stream
+    → deterministic geotag (the same splitmix column math as the batch
+    flagship) → web-mercator tile assignment (GetTileIndices math,
+    column-only) → watermark + 1-day tumbling window per-tile counts →
+    complete-mode memory sink drained via availableNow. Proves the tile
+    operators compose with Structured Streaming unchanged; full
+    value-hash oracle like the other streaming gates."""
+    import time as _time
+
+    import os as _os
+    import tempfile as _tempfile
+
+    from gdal_spark.operators.spatial_join import assign_tiles
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmpdir = _tempfile.mkdtemp(prefix="stream_tiles_")
+    link = _os.path.join(tmpdir, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(_os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    tiled = assign_tiles(_with_lonlat(stream, "event_id"), zoom=6)
+    agg = (
+        tiled.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    name = f"stream_tiles_{int(_time.time() * 1000) % 10_000_000}"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(
+        f"SELECT CAST(floor(unix_timestamp(w.start) / 86400) AS BIGINT) AS day_bucket, "
+        f"tile_x, tile_y, n FROM {name} ORDER BY day_bucket, tile_x, tile_y"
+    )
+
+
 @_register(
     "streaming_dedup_count",
     "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
