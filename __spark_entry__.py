@@ -2817,6 +2817,74 @@ def _oracle_footprint() -> str:
 _lazy_oracle("raster_footprint", _oracle_footprint)
 
 
+_GTIFF_GOLDENS = [
+    # every checksum is the reference's own documented golden
+    # (autotest/gcore/tiff_read.py:45+ init_list, gtiff_write.py:32+,
+    # cog.py:139) — uncompressed/PackBits/LZW/Deflate, predictors 2+3,
+    # strips+tiles, chunky+separate planes, LE+BE, partial final blocks
+    ("byte.tif", 1, 4672),
+    ("int16.tif", 1, 4672),
+    ("uint16.tif", 1, 4672),
+    ("int32.tif", 1, 4672),
+    ("uint32.tif", 1, 4672),
+    ("float32.tif", 1, 4672),
+    ("float64.tif", 1, 4672),
+    ("utmsmall.tif", 1, 50054),
+    ("rgbsmall.tif", 1, 21212),
+    ("rgbsmall.tif", 2, 21053),
+    ("rgbsmall.tif", 3, 21349),
+    ("contig_strip.tif", 2, 15234),
+    ("contig_tiled.tif", 2, 15234),
+    ("separate_tiled.tif", 2, 15234),
+    ("seperate_strip.tif", 2, 15234),
+    ("gtiff/float32_lzw_predictor_3_big_endian.tif", 1, 4672),
+    ("bug4468.tif", 1, 2923),
+]
+
+
+@_register("geotiff_read_checksums")
+def q_geotiff_read_checksums(spark, sf_dir):
+    """GeoTIFF driver parity (frmts/gtiff/ over libtiff; here the public
+    TIFF 6.0 spec hand-rolled in sources/geotiff.py): DISTRIBUTED read
+    of 14 reference fixtures spanning the codec matrix — LE/BE, strips
+    and tiles (incl. the #1179 partial-final-block family), chunky and
+    separate planes, PackBits/LZW/Deflate, predictors 2 and 3, 7 sample
+    types — checksummed with the exact distributed GDALChecksumImage
+    reimplementation. Oracle = the reference's own documented
+    checksums."""
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.sources.geotiff import read_geotiff
+
+    base = "/root/reference/autotest/gcore/data/"
+    rows = []
+    for name, band, _want in _GTIFF_GOLDENS:
+        t, meta = read_geotiff(spark, base + name)
+        cs = int(
+            checksum_df(
+                t.filter(F.col("band") == band).withColumn("band", F.lit(1)),
+                meta,
+            )
+        )
+        rows.append((name, band, cs))
+    return spark.createDataFrame(
+        rows, "name STRING, band INT, checksum BIGINT"
+    ).orderBy("name", "band")
+
+
+def _oracle_geotiff() -> str:
+    rows = ", ".join(
+        f"('{n}', {b}, CAST({c} AS BIGINT))" for n, b, c in _GTIFF_GOLDENS
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(name, band, checksum) ORDER BY name, band"
+    )
+
+
+_lazy_oracle("geotiff_read_checksums", _oracle_geotiff)
+
+
 _GEOD_POLYS = [
     (1, [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]),
     (2, [(10.0, 45.0), (12.5, 45.0), (11.0, 47.0), (10.0, 45.0)]),

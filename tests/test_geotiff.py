@@ -1,0 +1,128 @@
+"""GeoTIFF codec (sources/geotiff.py) vs the reference's own fixtures
+and documented checksums (autotest/gcore/tiff_read.py init_list,
+gtiff_write.py, cog.py): endianness, strips/tiles, planar configs,
+PackBits/LZW/Deflate, predictors 2/3, partial final blocks."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.raster.checksum import checksum_df, checksum_np
+from gdal_spark.raster.model import tiles_from_array, tiles_to_array
+from gdal_spark.sources.geotiff import (
+    decode_chunk,
+    lzw_decode,
+    packbits_decode,
+    packbits_encode,
+    read_geotiff,
+    read_tiff_header,
+    write_geotiff,
+)
+
+DATA = "/root/reference/autotest/gcore/data/"
+
+# (file, band, checksum) — every value is the reference's own documented
+# golden (autotest/gcore/tiff_read.py:45+, gtiff_write.py:32+, cog.py:139)
+GOLDENS = [
+    ("byte.tif", 1, 4672),
+    ("int16.tif", 1, 4672),
+    ("uint16.tif", 1, 4672),
+    ("int32.tif", 1, 4672),
+    ("uint32.tif", 1, 4672),
+    ("float32.tif", 1, 4672),
+    ("float64.tif", 1, 4672),
+    ("utmsmall.tif", 1, 50054),
+    ("rgbsmall.tif", 1, 21212),
+    ("rgbsmall.tif", 2, 21053),
+    ("rgbsmall.tif", 3, 21349),
+    ("contig_strip.tif", 2, 15234),
+    ("contig_tiled.tif", 2, 15234),
+    ("separate_tiled.tif", 2, 15234),
+    ("seperate_strip.tif", 2, 15234),
+    ("gtiff/float32_lzw_predictor_3_big_endian.tif", 1, 4672),
+    ("bug4468.tif", 1, 2923),
+]
+
+
+def _band_array(path, band):
+    info = read_tiff_header(path)
+    meta = info.meta()
+    out = np.zeros((info.height, info.width), dtype=info.dtype)
+    with open(path, "rb") as f:
+        for b, bx, by, off, size in info.chunks:
+            rows_disk = info.block_h if info.tiled else min(
+                info.block_h, info.height - by * info.block_h
+            )
+            f.seek(off)
+            arr = decode_chunk(f.read(size), info, rows_disk, info.block_w)
+            h, w = meta.block_shape(bx, by)
+            arr = arr[:h, :w, :]
+            sl = (slice(by * info.block_h, by * info.block_h + h),
+                  slice(bx * info.block_w, bx * info.block_w + w))
+            if info.planar == 1:
+                out[sl] = arr[:, :, band - 1]
+            elif b == band:
+                out[sl] = arr[:, :, 0]
+    return out
+
+
+@pytest.mark.parametrize("name,band,want", GOLDENS,
+                         ids=[f"{n}:{b}" for n, b, _ in GOLDENS])
+def test_decode_goldens(name, band, want):
+    got = checksum_np(_band_array(os.path.join(DATA, name), band))
+    assert got == want
+
+
+def test_geotransform_and_meta():
+    info = read_tiff_header(DATA + "byte.tif")
+    assert info.gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    assert (info.width, info.height, info.dtype) == (20, 20, "uint8")
+
+
+def test_packbits_roundtrip():
+    data = bytes(range(256)) * 3 + b"\x00" * 100
+    assert packbits_decode(packbits_encode(data), len(data)) == data
+
+
+def test_lzw_repeated_pattern():
+    # LZW of a strip from a real reference file already golden-verified;
+    # here: the degenerate 9-bit growth path on a tiny hand stream
+    # (CLEAR, 'A', 'A', EOI) encoded MSB-first at width 9
+    import struct
+    bits = ""
+    for code in (256, 65, 258, 257):
+        bits += format(code, "09b")
+    bits += "0" * (-len(bits) % 8)
+    data = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    assert lzw_decode(data, 3) == b"AAA"
+
+
+def test_spark_read_and_roundtrips(spark):
+    t, meta = read_geotiff(spark, DATA + "byte.tif")
+    assert int(checksum_df(t, meta)) == 4672
+    t3, m3 = read_geotiff(spark, DATA + "rgbsmall.tif")
+    got = [
+        int(checksum_df(t3.filter(F.col("band") == b).withColumn("band", F.lit(1)), m3))
+        for b in (1, 2, 3)
+    ]
+    assert got == [21212, 21053, 21349]
+    # write → read byte-identical (deflate, georef + multi-band)
+    import tempfile
+
+    p = os.path.join(tempfile.mkdtemp(), "rt.tif")
+    write_geotiff(t, meta, p, compress="deflate")
+    t2, m2 = read_geotiff(spark, p)
+    assert m2.gt == meta.gt
+    assert (tiles_to_array(t2, m2) == tiles_to_array(t, meta)).all()
+    # float32 + nodata, uncompressed
+    fmeta = dataclasses.replace(meta, dtype="float32", nodata=-9999.0)
+    arrf = tiles_to_array(t, meta).astype("float32")
+    arrf[0, 0] = -9999.0
+    p2 = os.path.join(tempfile.mkdtemp(), "f.tif")
+    write_geotiff(tiles_from_array(spark, arrf, fmeta), fmeta, p2, compress=None)
+    t4, m4 = read_geotiff(spark, p2)
+    assert m4.nodata == -9999.0 and m4.dtype == "float32"
+    assert (tiles_to_array(t4, m4) == arrf).all()
