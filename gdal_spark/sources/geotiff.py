@@ -92,8 +92,24 @@ def _read_tag_values(buf: bytes, bo: str, typ: int, cnt: int, raw: bytes):
     return struct.unpack(bo + f"{cnt}{fmt}", val)
 
 
-def read_tiff_header(path: str) -> TiffInfo:
-    """Driver-side IFD parse: header + tag table + offset arrays only."""
+def tiff_ifd_count(path: str) -> int:
+    """Number of IFDs in the chain (1 + overviews/masks)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    bo = "<" if buf[:2] == b"II" else ">"
+    _magic, off = struct.unpack(bo + "HI", buf[2:8])
+    count = 0
+    while off and count < 64:
+        (n,) = struct.unpack(bo + "H", buf[off : off + 2])
+        (off,) = struct.unpack(bo + "I", buf[off + 2 + n * 12 : off + 6 + n * 12])
+        count += 1
+    return count
+
+
+def read_tiff_header(path: str, ifd: int = 0) -> TiffInfo:
+    """Driver-side IFD parse: header + tag table + offset arrays only.
+    ``ifd`` selects an entry of the IFD chain — COG overview levels are
+    IFDs 1.. (frmts/gtiff overview model)."""
     with open(path, "rb") as f:
         buf = f.read()  # fixture scale; a production reader would pread
     if buf[:2] == b"II":
@@ -107,6 +123,13 @@ def read_tiff_header(path: str) -> TiffInfo:
         raise NotImplementedError("BigTIFF (0x2B) not supported; classic only")
     if magic != 42:
         raise ValueError(f"{path}: bad TIFF magic {magic}")
+    for _ in range(ifd):
+        (n,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
+        (ifd_off,) = struct.unpack(
+            bo + "I", buf[ifd_off + 2 + n * 12 : ifd_off + 6 + n * 12]
+        )
+        if not ifd_off:
+            raise ValueError(f"{path}: IFD {ifd} past end of chain")
     (n,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
     tags: dict[int, object] = {}
     for i in range(n):
@@ -313,10 +336,15 @@ def decode_chunk(raw: bytes, info: TiffInfo, rows: int, cols: int) -> np.ndarray
 # ---------------------------------------------------------------------------
 
 
-def read_geotiff(spark: SparkSession, path: str) -> tuple[DataFrame, RasterMeta]:
+def read_geotiff(
+    spark: SparkSession, path: str, overview: int = 0
+) -> tuple[DataFrame, RasterMeta]:
     """Distributed read into the tiles model: executors decode disjoint
-    strip/tile byte ranges; chunky chunks fan out one row per band."""
-    info = read_tiff_header(path)
+    strip/tile byte ranges; chunky chunks fan out one row per band.
+    ``overview`` selects an IFD-chain level (0 = full resolution).
+    Sparse blocks (strile offset 0 — the COG SPARSE_OK layout) read as
+    zero-filled, matching the reference's implicit-empty-block rule."""
+    info = read_tiff_header(path, ifd=overview)
     meta = info.meta()
     idx = spark.createDataFrame(
         [(info.path, b, bx, by, o, c) for b, bx, by, o, c in info.chunks],
@@ -340,9 +368,15 @@ def read_geotiff(spark: SparkSession, path: str) -> tuple[DataFrame, RasterMeta]
                     rows_disk = info.block_h if info.tiled else min(
                         info.block_h, info.height - int(by) * info.block_h
                     )
-                    f.seek(int(off))
-                    raw = f.read(int(size))
-                    arr = decode_chunk(raw, info, rows_disk, info.block_w)
+                    if int(off) == 0 or int(size) == 0:  # sparse block
+                        n_s = info.samples if info.planar == 1 else 1
+                        arr = np.zeros(
+                            (rows_disk, info.block_w, n_s), dtype=info.dtype
+                        )
+                    else:
+                        f.seek(int(off))
+                        raw = f.read(int(size))
+                        arr = decode_chunk(raw, info, rows_disk, info.block_w)
                     h, w = meta.block_shape(int(bx), int(by))
                     arr = arr[:h, :w, :]
                     if info.planar == 1:

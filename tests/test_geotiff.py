@@ -126,3 +126,23 @@ def test_spark_read_and_roundtrips(spark):
     t4, m4 = read_geotiff(spark, p2)
     assert m4.nodata == -9999.0 and m4.dtype == "float32"
     assert (tiles_to_array(t4, m4) == arrf).all()
+
+
+def test_ifd_chain_and_sparse(spark):
+    """COG layouts: IFD-chain overview selection and sparse (offset-0)
+    blocks reading as implicit zeros."""
+    from gdal_spark.sources.geotiff import tiff_ifd_count
+
+    p = DATA + "cog_sparse_strile_arrays_zeroified_when_possible.tif"
+    assert tiff_ifd_count(p) == 2
+    t, meta = read_geotiff(spark, p)
+    assert (meta.width, meta.height) == (512, 512)
+    a = tiles_to_array(t, meta)
+    # the fixture is a sparse COG: zeroed striles decode as zeros, the
+    # single real tile carries data
+    assert a.shape == (512, 512) and int(a.max()) > 0
+    assert int((a == 0).sum()) > 512 * 512 // 2
+    t_ovr, m_ovr = read_geotiff(spark, p, overview=1)
+    assert (m_ovr.width, m_ovr.height) == (256, 256)
+    a2 = tiles_to_array(t_ovr, m_ovr)
+    assert a2.shape == (256, 256)
