@@ -2418,6 +2418,43 @@ def q_mvt_tileset_read(spark, sf_dir):
     )
 
 
+@_register(
+    "mvt_tileset_write_counts",
+    f"""
+    SELECT {_TX8} AS tile_x, {_TY8} AS tile_y, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1, 2 ORDER BY tile_x, tile_y
+    """,
+)
+def q_mvt_tileset_write_counts(spark, sf_dir):
+    """Distributed MVT tileset SINK roundtrip (ogr2ogr -f MVT directory
+    layout; sources/mvt.py write_mvt_tileset): customer points →
+    executor-side {z}/{x}/{y}.pbf writes (one shuffle on the tile key,
+    zero driver collect) → distributed decode of every written tile →
+    per-tile feature counts must equal the plain tile-assignment oracle
+    (same GetTileIndices math DuckDB-side)."""
+    import tempfile as _tempfile
+
+    from gdal_spark.sources.mvt import read_mvt, write_mvt_tileset
+
+    pts = _with_lonlat(_t(spark, sf_dir, "customer"), "c_custkey")
+    out_dir = _tempfile.mkdtemp(prefix="mvt_sink_")
+    written = write_mvt_tileset(pts, out_dir, zoom=8, layer="customers")
+    paths = [r.path for r in written.collect()]
+    back = read_mvt(spark, paths)
+    tiles = back.withColumn(
+        "tile_x",
+        F.regexp_extract(F.col("tile_path"), r"/(\d+)/(\d+)\.pbf$", 1).cast("long"),
+    ).withColumn(
+        "tile_y",
+        F.regexp_extract(F.col("tile_path"), r"/(\d+)/(\d+)\.pbf$", 2).cast("long"),
+    )
+    return (
+        tiles.groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("tile_x", "tile_y")
+    )
+
+
 def _oracle_mvt_tileset() -> str:
     # independent re-derivation: pure-Python shoelace on the fixture
     # coordinates, never touching the codec or the ST_ kernels

@@ -399,3 +399,71 @@ def read_mvt(
         f"tile_path STRING, layer STRING, fid LONG, "
         f"props MAP<STRING,STRING>, {geom_col} BINARY",
     )
+
+
+def write_mvt_tileset(
+    df: DataFrame,
+    out_dir: str,
+    zoom: int,
+    layer: str = "layer",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str | None = None,
+    prop_cols: tuple = (),
+    extent: int = 4096,
+) -> DataFrame:
+    """Distributed MVT tileset SINK (the reference's ``ogr2ogr -f MVT``
+    directory layout, ogr/ogrsf_frmts/mvt/ writer side): POINT features
+    are tile-assigned with the exact GetTileIndices math
+    (tiling.tile_indices_np), grouped per tile, and each ``{z}/{x}/{y}
+    .pbf`` is encoded and written ON THE EXECUTOR that owns the group —
+    one shuffle on the tile key, zero driver collect, which is the
+    shape a planet-scale tile build needs. Line/polygon tiling (clip +
+    cell cover) is not in this v1 — point layers only.
+
+    Returns the written-tile summary (z, x, y, n_features, path)."""
+    import os as _os
+
+    from gdal_spark import tiling
+    from gdal_spark.operators.spatial_join import assign_tiles
+
+    sel = [lon_col, lat_col, *prop_cols]
+    if id_col is not None:
+        sel.append(id_col)
+    tiled = assign_tiles(df.select(*sel), zoom, lon_col=lon_col, lat_col=lat_col)
+
+    def emit(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        n = 1 << zoom
+        span = tiling.WORLD_SPAN / n
+        x0 = -tiling.ORIGIN + tx * span
+        y0 = tiling.ORIGIN - ty * span
+        mx, my = tiling.lonlat_to_mercator_np(
+            pdf[lon_col].to_numpy(), pdf[lat_col].to_numpy()
+        )
+        px = np.round((mx - x0) / span * extent).astype(np.int64)
+        py = np.round((y0 - my) / span * extent).astype(np.int64)
+        feats = []
+        for i in range(len(pdf)):
+            props = {c: pdf[c].iloc[i] for c in prop_cols}
+            props = {
+                k: (v.item() if hasattr(v, "item") else v)
+                for k, v in props.items()
+                if v is not None
+            }
+            fid = int(pdf[id_col].iloc[i]) if id_col is not None else None
+            feats.append((fid, ("Point", (float(px[i]), float(py[i]))), props))
+        d = _os.path.join(out_dir, str(zoom), str(tx))
+        _os.makedirs(d, exist_ok=True)
+        path = _os.path.join(d, f"{ty}.pbf")
+        write_mvt_tile(path, [{
+            "name": layer, "extent": extent, "version": 2, "features": feats,
+        }])
+        return pd.DataFrame(
+            [(zoom, tx, ty, len(feats), path)],
+            columns=["z", "x", "y", "n_features", "path"],
+        )
+
+    return tiled.groupBy("tile_x", "tile_y").applyInPandas(
+        emit, "z INT, x LONG, y LONG, n_features LONG, path STRING"
+    )

@@ -74,3 +74,32 @@ def test_read_mvt_distributed(spark, tmp_path):
     assert rows[0].layer == "roads" and rows[0].props["rank"] == "0"
     assert _wkt.wkb_to_wkt(bytes(rows[0].geometry)).startswith("POLYGON")
     assert _wkt.wkb_to_wkt(bytes(rows[1].geometry)).startswith("LINESTRING")
+
+
+def test_write_mvt_tileset_roundtrip(spark, tmp_path):
+    """Distributed tileset sink: executor-side {z}/{x}/{y}.pbf writes,
+    read back and re-aggregated must reproduce the tile assignment."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.sources.mvt import write_mvt_tileset
+
+    df = spark.range(500).select(
+        F.col("id"),
+        (((F.col("id") * 7919) % 360000) / 1000.0 - 180.0).alias("lon"),
+        (((F.col("id") * 4409) % 168000) / 1000.0 - 84.0).alias("lat"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    )
+    out = write_mvt_tileset(
+        df, str(tmp_path), zoom=4, layer="pts", id_col="id",
+        prop_cols=("name",),
+    ).collect()
+    assert sum(r.n_features for r in out) == 500
+    assert all(r.path.endswith(f"{r.y}.pbf") for r in out)
+    back = read_mvt(spark, [r.path for r in out])
+    assert back.count() == 500
+    row = back.filter("fid = 123").collect()[0]
+    assert row.layer == "pts" and row.props["name"] == "n123"
+    # tile-local integer coords stay within the extent + rounding slack
+    from gdal_spark.geometry import wkb as W
+    name, (px, py) = W.parse_wkb(bytes(row.geometry))
+    assert name == "Point" and -1 <= px <= 4097 and -1 <= py <= 4097
