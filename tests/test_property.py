@@ -140,3 +140,125 @@ def test_segmentize_scale_slack_large_coords():
     seg = np.sqrt(((out[1:] - out[:-1]) ** 2).sum(axis=1))
     assert (seg <= 1e5 + 1e-9 * 1e7).all()
     assert np.array_equal(out[0], line[0]) and np.array_equal(out[-1], line[-1])
+
+
+# -- round-4 codec properties (pure driver-side, no Spark) --------------------
+
+
+@given(st.binary(min_size=0, max_size=4000))
+@settings(max_examples=200, deadline=None)
+def test_packbits_roundtrip_property(data):
+    from gdal_spark.sources.geotiff import packbits_decode, packbits_encode
+
+    assert packbits_decode(packbits_encode(data), len(data)) == data
+
+
+@given(
+    st.sampled_from(["uint8", "int16", "uint16", "int32", "float32", "float64"]),
+    st.integers(min_value=1, max_value=37),
+    st.integers(min_value=1, max_value=23),
+    st.integers(min_value=1, max_value=11),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_write_read_roundtrip_property(dtype, w, h, rps, deflate, seed):
+    """write_geotiff → header parse → serial chunk decode is
+    byte-identical for any shape/dtype/strip-size/compression combo."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark.raster.model import RasterMeta
+    from gdal_spark.sources.geotiff import decode_chunk, read_tiff_header, write_geotiff
+
+    rng = np.random.default_rng(seed)
+    if dtype.startswith("float"):
+        arr = rng.standard_normal((h, w)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(info.min, info.max, size=(h, w), dtype=dtype)
+    meta = RasterMeta(width=w, height=h, dtype=dtype, block_w=w, block_h=rps,
+                      gt=(10.0, 0.5, 0.0, 20.0, 0.0, -0.25))
+
+    class _FakeDF:  # write_geotiff only needs limit().collect()
+        def limit(self, n):
+            return self
+
+        def collect(self):
+            rows = []
+            for by in range((h + rps - 1) // rps):
+                hh = min(rps, h - by * rps)
+                blk = arr[by * rps : by * rps + hh]
+
+                class R:
+                    pass
+
+                r = R()
+                r.band, r.block_y, r.block_x = 1, by, 0
+                r.h, r.w, r.data = hh, w, blk.tobytes()
+                rows.append(r)
+            return rows
+
+    p = os.path.join(tempfile.mkdtemp(), "prop.tif")
+    write_geotiff(_FakeDF(), meta, p, compress="deflate" if deflate else None)
+    info = read_tiff_header(p)
+    assert (info.width, info.height, info.dtype) == (w, h, dtype)
+    assert info.gt == meta.gt
+    out = np.zeros((h, w), dtype=dtype)
+    with open(p, "rb") as f:
+        for _b, bx, by, off, size in info.chunks:
+            rows_disk = min(info.block_h, h - by * info.block_h)
+            f.seek(off)
+            a = decode_chunk(f.read(size), info, rows_disk, info.block_w)
+            out[by * info.block_h : by * info.block_h + rows_disk] = a[:, :, 0]
+    assert np.array_equal(out, arr, equal_nan=True)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-180_000, max_value=180_000),
+            st.integers(min_value=-84_000, max_value=84_000),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=50, deadline=None)
+def test_osm_pbf_roundtrip_property(coords, block_nodes):
+    """write_osm_pbf → blob scan → serial decode reproduces ids, the
+    1e-3-degree quantized coords, and tags for any node set."""
+    import os
+    import tempfile
+
+    from gdal_spark.sources.osm import (
+        _decode_block,
+        _inflate_blob,
+        scan_blob_index,
+        write_osm_pbf,
+    )
+
+    nodes = [
+        (1000 + i, x / 1000.0, y / 1000.0, {"i": str(i)} if i % 2 else {})
+        for i, (x, y) in enumerate(coords)
+    ]
+    p = os.path.join(tempfile.mkdtemp(), "prop.osm.pbf")
+    write_osm_pbf(p, nodes, block_nodes=block_nodes)
+    got = []
+    with open(p, "rb") as f:
+        for btype, off, size in scan_blob_index(p):
+            if btype != "OSMData":
+                continue
+            f.seek(off)
+            got += _decode_block(_inflate_blob(f.read(size)))
+    got.sort(key=lambda r: r[1])
+    assert len(got) == len(nodes)
+    for (nid, lon, lat, tags), r in zip(nodes, got):
+        assert r[0] == "node" and r[1] == nid
+        assert round(r[2] * 1e7) == round(lon * 1e9) // 100
+        assert round(r[3] * 1e7) == round(lat * 1e9) // 100
+        assert (r[6] or {}) == tags
