@@ -2922,6 +2922,70 @@ def _oracle_geotiff() -> str:
 _lazy_oracle("geotiff_read_checksums", _oracle_geotiff)
 
 
+_PYRAMID_ZOOMS = (13, 15)
+
+
+@_register("raster_tile_pyramid_checksums")
+def q_raster_tile_pyramid_checksums(spark, sf_dir):
+    """gdal raster tile (apps/gdalalg_raster_tile.cpp; gdal2tiles):
+    byte.tif fixture (EPSG:26711) → distributed warp into the
+    grid-aligned WebMercator window per zoom → per-tile GeoTIFFs written
+    executor-side → re-read DISTRIBUTED and checksummed. Oracle is the
+    single-node warp path (warp_crs_np) sliced per tile — the identical
+    transform+sampling math the warp gates pin."""
+    import tempfile as _tempfile
+
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import byte_fixture, tiles_from_array
+    from gdal_spark.raster.tile_pyramid import raster_tile_pyramid
+    from gdal_spark.sources.geotiff import read_geotiff
+
+    arr, meta = byte_fixture()
+    out_dir = _tempfile.mkdtemp(prefix="pyramid_")
+    written = raster_tile_pyramid(
+        tiles_from_array(spark, arr, meta), meta, 26711, out_dir,
+        zooms=_PYRAMID_ZOOMS,
+    ).collect()
+    rows = []
+    for r in sorted(written, key=lambda r: (r.z, r.x, r.y)):
+        t, m = read_geotiff(spark, r.path)
+        rows.append((r.z, int(r.x), int(r.y), int(checksum_df(t, m))))
+    return spark.createDataFrame(
+        rows, "z INT, x LONG, y LONG, checksum BIGINT"
+    ).orderBy("z", "x", "y")
+
+
+def _oracle_tile_pyramid() -> str:
+    import numpy as np
+
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.model import byte_fixture
+    from gdal_spark.raster.tile_pyramid import zoom_window
+    from gdal_spark.raster.warp import warp_crs_np
+
+    arr, meta = byte_fixture()
+    rows = []
+    for z in _PYRAMID_ZOOMS:
+        dst_meta, tx0, ty0 = zoom_window(meta, 26711, z)
+        full = warp_crs_np(arr, meta, dst_meta, 26711, 3857)
+        full = np.rint(full).astype(meta.dtype)
+        for by in range(dst_meta.height // 256):
+            for bx in range(dst_meta.width // 256):
+                cs = checksum_np(
+                    full[by * 256 : (by + 1) * 256, bx * 256 : (bx + 1) * 256]
+                )
+                rows.append(f"({z}, CAST({tx0 + bx} AS BIGINT), "
+                            f"CAST({ty0 + by} AS BIGINT), CAST({cs} AS BIGINT))")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(z, x, y, checksum) ORDER BY z, x, y"
+    )
+
+
+_lazy_oracle("raster_tile_pyramid_checksums", _oracle_tile_pyramid)
+
+
 _GEOD_POLYS = [
     (1, [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]),
     (2, [(10.0, 45.0), (12.5, 45.0), (11.0, 47.0), (10.0, 45.0)]),

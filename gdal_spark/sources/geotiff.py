@@ -402,17 +402,16 @@ def write_geotiff(
 ) -> None:
     """Classic little-endian stripped GeoTIFF writer (PlanarConfig 2:
     each band's strips in sequence). Fixture/interchange scale — the
-    driver collects the tiles (row-capped like write_gpkg)."""
+    driver collects the tiles (row-capped like write_gpkg). For the
+    distributed per-tile sink see raster/tile_pyramid.py, which calls
+    :func:`encode_geotiff` executor-side."""
     rows = tiles.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise ValueError(
             f"write_geotiff is a fixture-scale sink (> {max_rows} tile rows); "
             "write parquet tiles for bulk output"
         )
-    if meta.gt[2] != 0.0 or meta.gt[4] != 0.0:
-        raise NotImplementedError("rotated geotransforms need GCP tags")
     np_dtype = np.dtype(meta.dtype)
-    kind = {"u": 1, "i": 2, "f": 3}[np_dtype.kind]
     # assemble per-band full arrays (block_h-strip slicing below)
     bands = sorted({r.band for r in rows})
     arrs = {b: np.zeros((meta.height, meta.width), dtype=np_dtype) for b in bands}
@@ -422,6 +421,22 @@ def write_geotiff(
             r.block_y * meta.block_h : r.block_y * meta.block_h + r.h,
             r.block_x * meta.block_w : r.block_x * meta.block_w + r.w,
         ] = blk
+    with open(path, "wb") as f:
+        f.write(encode_geotiff(arrs, meta, compress))
+
+
+def encode_geotiff(
+    arrs: dict[int, np.ndarray],
+    meta: RasterMeta,
+    compress: str | None = "deflate",
+) -> bytes:
+    """Encode per-band full arrays into classic-TIFF bytes (pure
+    function, safe executor-side)."""
+    if meta.gt[2] != 0.0 or meta.gt[4] != 0.0:
+        raise NotImplementedError("rotated geotransforms need GCP tags")
+    np_dtype = np.dtype(meta.dtype)
+    kind = {"u": 1, "i": 2, "f": 3}[np_dtype.kind]
+    bands = sorted(arrs)
     rps = min(meta.block_h, meta.height)
     strips = []
     for b in bands:
@@ -516,12 +531,13 @@ def write_geotiff(
             "<I", cnt_arr_off
         )
 
-    with open(path, "wb") as f:
-        f.write(b"II" + struct.pack("<HI", 42, ifd_off))
-        f.write(struct.pack("<H", n_entries))
-        for e in entries:
-            f.write(e)
-        f.write(struct.pack("<I", 0))  # next IFD
-        f.write(bytes(ext))
-        for s in strips:
-            f.write(s)
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    out += struct.pack("<H", n_entries)
+    for e in entries:
+        out += e
+    out += struct.pack("<I", 0)  # next IFD
+    out += bytes(ext)
+    for s in strips:
+        out += s
+    return bytes(out)

@@ -146,3 +146,32 @@ def test_ifd_chain_and_sparse(spark):
     assert (m_ovr.width, m_ovr.height) == (256, 256)
     a2 = tiles_to_array(t_ovr, m_ovr)
     assert a2.shape == (256, 256)
+
+
+def test_raster_tile_pyramid(spark, tmp_path):
+    """gdal raster tile: byte.tif fixture (EPSG:26711) → WebMercator
+    {z}/{x}/{y}.tif tree; every written tile must equal the single-node
+    warp oracle's slice of the same grid-aligned window."""
+    from gdal_spark.raster.model import byte_fixture
+    from gdal_spark.raster.tile_pyramid import raster_tile_pyramid, zoom_window
+    from gdal_spark.raster.warp import warp_crs_np
+
+    arr, meta = byte_fixture()
+    tiles = tiles_from_array(spark, arr, meta)
+    out = raster_tile_pyramid(
+        tiles, meta, 26711, str(tmp_path), zooms=(13, 15), compress="deflate"
+    ).collect()
+    assert {r.z for r in out} == {13, 15}
+    n13 = [r for r in out if r.z == 13]
+    n15 = [r for r in out if r.z == 15]
+    assert len(n13) >= 1 and len(n15) >= len(n13)
+    for z, written in ((13, n13), (15, n15)):
+        dst_meta, tx0, ty0 = zoom_window(meta, 26711, z)
+        oracle = warp_crs_np(arr, meta, dst_meta, 26711, 3857)
+        for r in written:
+            t, m = read_geotiff(spark, r.path)
+            got = tiles_to_array(t, m)
+            bx, by = r.x - tx0, r.y - ty0
+            want = oracle[by * 256:(by + 1) * 256, bx * 256:(bx + 1) * 256]
+            assert np.array_equal(got, want), (z, r.x, r.y)
+            assert m.gt[1] == dst_meta.gt[1]  # per-tile res matches level
