@@ -297,6 +297,35 @@ def _u32_gather(flat: np.ndarray, pos: np.ndarray) -> np.ndarray:
     )
 
 
+_PAD_BUDGET_BYTES = 1 << 28  # per-batch gather ceiling (256 MB of f8 pads)
+
+
+def _pad_budget_filter(ok: np.ndarray, npts: np.ndarray) -> np.ndarray:
+    """Bound the zero-padded fast path's k×maxp memory blowup: every
+    fast-path row pads to the batch max vertex count, and the gather
+    index costs 128 bytes per coordinate byte — one huge geometry among
+    thousands of small ones would OOM an executor. Rows far above the
+    batch median (>8×, floor 1024 pts) or blowing the absolute budget
+    are dropped from ``ok`` and take the per-row fallback (identical
+    values — the fast paths are bit-equal to the per-row kernels)."""
+    ks = np.nonzero(ok)[0]
+    if len(ks) <= 1:
+        return ok
+    npv = npts[ks].astype(np.float64)
+    cap = max(1024.0, 8.0 * max(float(np.median(npv)), 1.0))
+    keep = npv <= cap
+    while keep.any():
+        maxp = float(npv[keep].max())
+        if float(keep.sum()) * maxp * 16.0 <= _PAD_BUDGET_BYTES:
+            break
+        keep &= npv < maxp  # shed the largest size class, re-check
+    if keep.all():
+        return ok
+    out = ok.copy()
+    out[ks[~keep]] = False
+    return out
+
+
 def decode_polygon1_batch(blobs):
     """Vectorized decode of the dominant real-world geometry shape —
     little-endian single-ring Polygon WKB: one header-validation pass +
@@ -329,6 +358,7 @@ def decode_polygon1_batch(blobs):
     npts = _u32_gather(flat, s + 9)
     ok &= (b0 == 1) & (gtype == WKB_POLYGON) & (nrings == 1)
     ok &= lens == 13 + 16 * npts
+    ok = _pad_budget_filter(ok, npts)
     ks = np.nonzero(ok)[0]
     if not len(ks):
         return ok, None, None, None
@@ -368,6 +398,7 @@ def decode_linestring_batch(blobs):
     gtype = _u32_gather(flat, s + 1)
     npts = _u32_gather(flat, s + 5)
     ok &= (b0 == 1) & (gtype == WKB_LINESTRING) & (lens == 9 + 16 * npts)
+    ok = _pad_budget_filter(ok, npts)
     ks = np.nonzero(ok)[0]
     if not len(ks):
         return ok, None, None, None

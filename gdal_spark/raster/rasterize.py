@@ -110,19 +110,31 @@ def _scanline_burn(
                     row[:] = value
 
 
-def _bresenham_line_burn(img, pts, value, y0, x0, merge_add, variants=None):
+def _bresenham_line_burn(img, pts, value, y0, x0, merge_add, variants=None,
+                         visited=None):
     """Exact GDALdllImageLine Bresenham (llrasterize.cpp:255+): integer
     error stepping; intermediate segment endpoints burn once.
 
     ``variants``: optional per-vertex Z (BURN_VALUE_FROM=Z) — linearly
     interpolated along the major axis with the reference's
     dfDeltaVariant stepping (llrasterize.cpp:298-357); burn value is
-    ``value + variant`` per pixel."""
+    ``value + variant`` per pixel.
+
+    ``visited``: per-FEATURE (iy, ix) set shared across all line parts
+    (gvBurnPoint + poSetVisitedPoints, gdalrasterize.cpp:694-698): under
+    ADD every pixel burns at most once per geometry, so self-crossing
+    lines and shared pixels between MultiLineString parts don't
+    double-add."""
     h, w = img.shape
     n = len(pts)
     var = 0.0
 
     def put(iy, ix):
+        if visited is not None and merge_add:
+            yx = (iy, ix)
+            if yx in visited:
+                return
+            visited.add(yx)
         if y0 <= iy < y0 + h and x0 <= ix < x0 + w:
             if merge_add:
                 img[iy - y0, ix - x0] += value + var
@@ -399,12 +411,13 @@ def rasterize_z_np(
                     img[iy, ix] += value + float(pt[2])
                 else:
                     img[iy, ix] = value + float(pt[2])
+        line_visited = set() if merge_add else None
         for line in [l for l in ops._lines_of(geom) if not polys]:
             line = np.asarray(line, dtype=float)[::-1]
             x, y = meta.geo_to_px(line[:, 0], line[:, 1])
             pts = np.column_stack([x, y])
             _bresenham_line_burn(img, pts, value, 0, 0, merge_add,
-                                 variants=line[:, 2])
+                                 variants=line[:, 2], visited=line_visited)
     return img
 
 
@@ -535,6 +548,10 @@ def rasterize(
                         img[iy - by * bh, ix - bx * bw] += pv
                     else:
                         img[iy - by * bh, ix - bx * bw] = pv
+            # ONE visited set per feature spanning all line parts
+            # (gdalrasterize.cpp:694-698 creates poSetVisitedPoints per
+            # geometry before the single all-parts walker call)
+            line_visited = set() if merge_add else None
             for line in [l for l in ops._lines_of(geom) if not polys]:
                 # GDALCollectRingsFromGeometry pushes LineString vertices in
                 # REVERSE order (gdalrasterize.cpp wkbLineString branch) —
@@ -547,11 +564,12 @@ def rasterize(
                     _all_touched_burn(
                         img, pts, value, by * bh, bx * bw, merge_add,
                         meta.width, meta.height, variants=variants,
-                        visited=set() if merge_add else None,
+                        visited=line_visited,
                     )
                 else:
                     _bresenham_line_burn(img, pts, value, by * bh, bx * bw,
-                                         merge_add, variants=variants)
+                                         merge_add, variants=variants,
+                                         visited=line_visited)
         return pd.DataFrame(
             [(band, by, bx, h, w, img.tobytes())],
             columns=["band", "block_y", "block_x", "h", "w", "data"],

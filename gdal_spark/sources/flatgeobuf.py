@@ -257,8 +257,28 @@ def _geom_fields(b: _Builder, geom) -> list:
             fields.append((0, "off", b.vector("I", ends)))
         fields.append((1, "off", b.vector("d", flat)))
         return fields
-    if name in ("MultiPolygon", "MultiLineString", "MultiPoint",
-                "GeometryCollection"):
+    if name == "MultiPoint":
+        # spec (geometryreader.cpp readMultiPoint): ONE flat xy vector,
+        # never parts — parts-encoded MultiPoints are unreadable by GDAL.
+        flat = []
+        for _, pt in payload:
+            flat.extend([pt[0], pt[1]])
+        return [(1, "off", b.vector("d", flat)), (6, "u8", t)]
+    if name == "MultiLineString":
+        # spec (readMultiLineString): flat xy + ends (ends omitted for a
+        # single part, same convention as single-ring Polygon).
+        flat, ends, acc = [], [], 0
+        for _, line in payload:
+            c = np.asarray(line, dtype=float)
+            flat.extend(c[:, :2].ravel().tolist())
+            acc += len(c)
+            ends.append(acc)
+        fields = [(6, "u8", t)]
+        if len(payload) > 1:
+            fields.append((0, "off", b.vector("I", ends)))
+        fields.append((1, "off", b.vector("d", flat)))
+        return fields
+    if name in ("MultiPolygon", "GeometryCollection"):
         parts = []
         for child in payload:
             pf = _geom_fields(b, child)
@@ -292,6 +312,19 @@ def _geom_decode(tab: _Tab, outer_type: int = 0):
             rings.append(xy[prev:int(e)].copy())
             prev = int(e)
         return ("Polygon", rings)
+    if name == "MultiPoint":
+        # flat xy per spec (reference readMultiPoint)
+        return ("MultiPoint", [("Point", (float(x), float(y))) for x, y in xy])
+    if name == "MultiLineString":
+        # flat xy + optional ends per spec (reference readMultiLineString)
+        ends = tab.vector_np(0, "<u4")
+        if ends is None:
+            return ("MultiLineString", [("LineString", xy.copy())])
+        lines, prev = [], 0
+        for e in ends:
+            lines.append(("LineString", xy[prev:int(e)].copy()))
+            prev = int(e)
+        return ("MultiLineString", lines)
     raise ValueError(f"flat coordinates for unexpected type {name}")
 
 

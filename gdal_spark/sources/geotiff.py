@@ -493,9 +493,18 @@ def encode_geotiff(
         off=ext_put("d", [0.0, 0.0, 0.0, meta.gt[0], meta.gt[3], 0.0]))
     if meta.nodata is not None:
         nd = (f"{meta.nodata:.18g}".encode("ascii") + b"\0")
-        off = ext_off + len(ext)
-        ext.extend(nd)
-        tag(_T_GDAL_NODATA, 2, len(nd), off=off)
+        if len(nd) <= 4:
+            # TIFF 6.0: total value size ≤4 bytes is stored INLINE in the
+            # entry (the reader's size<=4 branch decodes it from there);
+            # an offset here would be misread as ASCII bytes.
+            entries.append(
+                struct.pack("<HHI", _T_GDAL_NODATA, 2, len(nd))
+                + nd.ljust(4, b"\0")
+            )
+        else:
+            off = ext_off + len(ext)
+            ext.extend(nd)
+            tag(_T_GDAL_NODATA, 2, len(nd), off=off)
     # sort tags ascending as the spec requires
     order = sorted(range(len(entries)),
                    key=lambda i: struct.unpack("<H", entries[i][:2])[0])

@@ -49,7 +49,9 @@ def gpkg_layers(path: str) -> list[str]:
 
 def parse_gpkg_blob(blob: bytes | None) -> bytes | None:
     """GeoPackageBinaryHeader (spec §2.1.3) → the embedded standard WKB
-    bytes, or None for NULL / empty-flagged geometries."""
+    bytes. None only for NULL input or an empty-flagged blob with no WKB
+    body; empty-flagged blobs that carry WKB (e.g. POINT EMPTY with NaN
+    coords) keep it, preserving the EMPTY/NULL distinction."""
     if blob is None:
         return None
     if len(blob) < 8 or blob[0:2] != b"GP":

@@ -78,3 +78,42 @@ def test_fgb_write_row_cap(spark):
                                    "CAST(NULL AS BINARY) AS geometry")
     with pytest.raises(ValueError, match="fixture sink"):
         write_fgb(df, "/tmp/never.fgb", max_rows=3)
+
+
+MULTI_FIXTURE = [
+    (1, "MULTIPOINT ((1 2),(3 4),(5 6))"),
+    (2, "MULTILINESTRING ((0 0,1 1,2 0),(5 5,6 6))"),
+    (3, "MULTILINESTRING ((7 7,8 8))"),
+]
+
+
+def test_fgb_multipoint_multilinestring_flat_encoding(spark, tmp_path):
+    """Spec conformance (ADVICE r4): MultiPoint is ONE flat xy vector and
+    MultiLineString is flat xy+ends (reference geometryreader.cpp
+    readMultiPoint/readMultiLineString) — never parts child tables, which
+    GDAL/QGIS cannot read for these types."""
+    from gdal_spark.sources.flatgeobuf import _geom_fields, _geom_decode
+    from gdal_spark.geometry import wkb as _wkb
+    import struct
+
+    df = spark.createDataFrame(
+        [(i, bytearray(_wkt.wkt_to_wkb(w))) for i, w in MULTI_FIXTURE],
+        "id INT, geometry BINARY",
+    )
+    path = str(tmp_path / "m.fgb")
+    write_fgb(df, path, name="m")
+    got = sorted(
+        (r.id, _wkt.wkb_to_wkt(bytes(r.geometry)))
+        for r in read_fgb(spark, path).collect()
+    )
+    exp = sorted(
+        (i, _wkt.wkb_to_wkt(_wkt.wkt_to_wkb(w))) for i, w in MULTI_FIXTURE
+    )
+    assert got == exp
+    # wire-level: no parts vector (fid 7), flat xy present (fid 1)
+    for _, w in MULTI_FIXTURE:
+        b = _Builder()
+        tab = _Tab.root(b.finish(b.table(
+            _geom_fields(b, _wkb.parse_wkb(_wkt.wkt_to_wkb(w))))))
+        assert not tab.tables(7)
+        assert tab.vector_np(1, "<f8") is not None

@@ -433,3 +433,41 @@ def test_decode_polygon1_batch_bit_equal():
     for j, i in enumerate(ks):
         fast = abs(float(np.sum(cross[j, : npv[j] - 1]))) * 0.5
         assert fast == ops.area(wkb.parse_wkb(bytes(blobs[i])))
+
+
+def test_batch_decode_pad_budget_routes_oversized_rows():
+    """ADVICE r4: one huge geometry among many small ones must NOT be
+    zero-padded to the batch max (k×maxp memory blowup) — it falls off
+    the fast path (ok=False) and takes the per-row fallback, while the
+    small rows keep their vectorized decode."""
+    import math
+
+    from gdal_spark.geometry.wkb import (
+        decode_polygon1_batch,
+        decode_linestring_batch,
+        polygon_wkb,
+    )
+    from gdal_spark.geometry import wkt as _wkt
+
+    small = [
+        polygon_wkb(np.array([[0.0, 0.0], [i + 1.0, 0.0], [0.0, 1.0],
+                              [0.0, 0.0]]))
+        for i in range(200)
+    ]
+    t = np.linspace(0.0, 2 * math.pi, 50_000)
+    big_ring = np.column_stack([np.cos(t), np.sin(t)])
+    big_ring[-1] = big_ring[0]
+    big = polygon_wkb(big_ring)
+    blobs = small[:100] + [big] + small[100:]
+    ok, xs, ys, npv = decode_polygon1_batch(blobs)
+    assert not ok[100]          # oversized row routed to fallback
+    assert ok.sum() == 200      # all small rows stay vectorized
+    assert xs.shape[1] == 4     # padded to the SMALL max, not 50k
+
+    ls_small = [_wkt.wkt_to_wkb("LINESTRING (0 0,1 1,2 0)")] * 150
+    coords = " ,".join(f"{x} {x}" for x in range(60_000))
+    ls_big = _wkt.wkt_to_wkb(f"LINESTRING ({coords})")
+    ok2, xs2, _, _ = decode_linestring_batch(ls_small + [ls_big])
+    assert not ok2[-1]
+    assert ok2.sum() == 150
+    assert xs2.shape[1] == 3

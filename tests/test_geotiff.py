@@ -175,3 +175,22 @@ def test_raster_tile_pyramid(spark, tmp_path):
             want = oracle[by * 256:(by + 1) * 256, bx * 256:(bx + 1) * 256]
             assert np.array_equal(got, want), (z, r.x, r.y)
             assert m.gt[1] == dst_meta.gt[1]  # per-tile res matches level
+
+
+def test_nodata_short_repr_inline_tag(tmp_path):
+    """ADVICE r4: GDAL_NODATA values whose ASCII repr fits in ≤4 bytes
+    must be stored INLINE in the tag entry per TIFF 6.0 (the reader's
+    size<=4 branch decodes from there); an offset entry would silently
+    roundtrip nodata to garbage."""
+    from gdal_spark.raster.model import RasterMeta
+    from gdal_spark.sources.geotiff import encode_geotiff, read_tiff_header
+
+    arr = {1: np.arange(48, dtype=np.uint8).reshape(6, 8)}
+    for nd in (0.0, -1.0, 9.5, 255.0, 123456.789):
+        meta = RasterMeta(width=8, height=6, block_w=8, block_h=6,
+                          dtype="uint8", gt=(0.0, 1.0, 0.0, 6.0, 0.0, -1.0),
+                          nodata=nd)
+        p = str(tmp_path / f"nd_{nd}.tif")
+        with open(p, "wb") as f:
+            f.write(encode_geotiff(arr, meta))
+        assert read_tiff_header(p).nodata == nd

@@ -3,6 +3,7 @@ test_gdal_rasterize_lib.py::test_gdal_rasterize_lib_1 — 100×100 grid,
 GT (1000,1,0,1100,0,-1), one polygon + one linestring burned 220 →
 band checksum 6452."""
 import numpy as np
+import pytest
 
 from gdal_spark.geometry import wkt
 from gdal_spark.raster.checksum import checksum_np
@@ -44,3 +45,33 @@ def test_rasterize_lib_1_golden_multiblock(spark):
     )
     img = tiles_to_array(rasterize(feats, meta, fid_col="fid"), meta)
     assert checksum_np(img) == 6452
+
+
+SELF_CROSS = "LINESTRING (1010 1090,1090 1010,1090 1090,1010 1010)"
+SHARED_MLS = ("MULTILINESTRING ((1010 1050,1090 1050),"
+              "(1050 1010,1050 1090),(1010 1050,1090 1050))")
+
+
+def _burn_image(spark, wkt_str, meta, **kw):
+    feats = spark.createDataFrame(
+        [(0, bytearray(wkt.wkt_to_wkb(wkt_str)), 7.0)],
+        "fid INT, geometry BINARY, burn DOUBLE",
+    )
+    return tiles_to_array(rasterize(feats, meta, fid_col="fid", **kw), meta)
+
+
+@pytest.mark.parametrize("all_touched", [False, True])
+@pytest.mark.parametrize("line_wkt", [SELF_CROSS, SHARED_MLS])
+def test_merge_add_lines_burn_once_per_feature(spark, all_touched, line_wkt):
+    """ADVICE r4 / gdalrasterize.cpp:694-698: under MERGE_ALG=ADD one
+    visited set per FEATURE spans all line parts — self-crossing lines
+    and pixels shared between MultiLineString parts burn exactly once,
+    so ADD and REPLACE touch identical pixels at identical values for a
+    single feature."""
+    meta = _meta(block=25)
+    add = _burn_image(spark, line_wkt, meta, merge_alg="ADD",
+                      all_touched=all_touched)
+    rep = _burn_image(spark, line_wkt, meta, merge_alg="REPLACE",
+                      all_touched=all_touched)
+    assert np.array_equal(add, rep)
+    assert add.max() == 7.0  # no pixel double-added
