@@ -14,10 +14,15 @@ All functions are Arrow-vectorized pandas UDFs over WKB BinaryType
 columns. ``register_st_functions(spark)`` exposes them to ``spark.sql``;
 the module-level callables work directly in DataFrame expressions.
 
-Scale note: point-heavy paths (st_makepoint, point predicates vs a fixed
-polygon) hit the vectorized 21-byte-point fast decode; arbitrary
-geometries fall back to per-row parse inside the Arrow batch, which is
-the same cost model as the reference's per-feature GEOS calls.
+Scale note: binary predicates are envelope-STAGED (the reference's
+FilterGeometry discipline, ogrlayer.cpp:2253-2325) — one vectorized
+envelope gather per Arrow batch, strict-disjoint pairs short-circuit
+without any WKB parse, and only the survivors run the exact test.
+Geometry decode everywhere goes through wkb.parse_wkb_batch, which
+routes the dominant LE 2-D shapes (Point / LineString / single-ring
+Polygon) through batched fancy-index gathers; only irregular shapes pay
+a per-row byte walk — the same cost model as the reference's
+per-feature GEOS calls, minus the filter-rejected majority.
 """
 
 from __future__ import annotations
@@ -37,7 +42,7 @@ from gdal_spark.geometry import ops, wkb, wkt
 
 
 def _parse_series(s: pd.Series):
-    return [None if b is None else wkb.parse_wkb(bytes(b)) for b in s]
+    return wkb.parse_wkb_batch([None if b is None else bytes(b) for b in s])
 
 
 def _pair_udf(fn, ret):
@@ -61,13 +66,68 @@ def _unary_udf(fn, ret):
     return _udf
 
 
+def _pair_predicate_staged(fn, a: pd.Series, b: pd.Series, on_disjoint: bool,
+                           env_round: int | None = None):
+    """Envelope-staged binary predicate — the reference's FilterGeometry
+    discipline (ogrlayer.cpp:2253-2325: cheap bbox reject, exact test
+    only on survivors) applied inside an Arrow batch. Envelopes come from
+    one vectorized batch gather per side; pairs whose boxes are strictly
+    disjoint resolve to ``on_disjoint`` without any WKB parse. NaN
+    envelopes (NULL/empty geometries) never satisfy the strict
+    comparisons, so they take the full path and keep exact per-row
+    semantics (e.g. ST_Equals on two empties). Returns (results list,
+    skipped count) — the count is a test/bench hook."""
+    ba = [None if x is None else bytes(x) for x in a]
+    bb = [None if x is None else bytes(x) for x in b]
+    axi, ayi, axa, aya, pa = wkb.envelopes_batch(ba)
+    bxi, byi, bxa, bya, pb = wkb.envelopes_batch(bb)
+    if env_round is not None:
+        # round is monotonic, so it commutes with min/max: rounded-env
+        # disjoint ⟹ the rounded coordinate sets are box-disjoint — the
+        # sound reject for _equals' 12-decimal normalization
+        axi, ayi, axa, aya, bxi, byi, bxa, bya = (
+            np.round(v, env_round)
+            for v in (axi, ayi, axa, aya, bxi, byi, bxa, bya)
+        )
+    disj = (axa < bxi) | (bxa < axi) | (aya < byi) | (bya < ayi)
+    n = len(ba)
+    valid = np.fromiter(
+        (x is not None and y is not None for x, y in zip(ba, bb)),
+        dtype=bool, count=n,
+    )
+    out: list = [None] * n
+    skip_idx = np.nonzero(valid & disj)[0]
+    skipped = len(skip_idx)
+    for i in skip_idx.tolist():
+        out[i] = on_disjoint
+    need = np.nonzero(valid & ~disj)[0].tolist()
+    if need:
+        # rows whose envelope fallback already parsed skip the re-parse
+        ga = wkb.parse_wkb_batch(
+            [None if pa[i] is not None else ba[i] for i in need])
+        gb = wkb.parse_wkb_batch(
+            [None if pb[i] is not None else bb[i] for i in need])
+        for j, i in enumerate(need):
+            out[i] = fn(pa[i] or ga[j], pb[i] or gb[j])
+    return out, skipped
+
+
+def _env_pair_udf(fn, on_disjoint: bool, env_round: int | None = None):
+    @F.pandas_udf(BooleanType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            _pair_predicate_staged(fn, a, b, on_disjoint, env_round)[0])
+
+    return _udf
+
+
 # -- predicates --------------------------------------------------------------
 
-st_intersects = _pair_udf(ops.intersects, BooleanType())
-st_disjoint = _pair_udf(ops.disjoint, BooleanType())
-st_contains = _pair_udf(ops.contains, BooleanType())
-st_within = _pair_udf(ops.within, BooleanType())
-st_touches = _pair_udf(ops.touches, BooleanType())
+st_intersects = _env_pair_udf(ops.intersects, False)
+st_disjoint = _env_pair_udf(ops.disjoint, True)
+st_contains = _env_pair_udf(ops.contains, False)
+st_within = _env_pair_udf(ops.within, False)
+st_touches = _env_pair_udf(ops.touches, False)
 
 
 def _drop_collinear(a: np.ndarray, closed: bool) -> np.ndarray:
@@ -76,6 +136,8 @@ def _drop_collinear(a: np.ndarray, closed: bool) -> np.ndarray:
     straight run (cross == 0 and dot > 0 — spikes/reversals are kept, as
     they change the traced set). This is what makes ``_equals``
     insensitive to how a straight edge was tessellated."""
+    if len(a) == 0:
+        return a
     keep = [0]
     for i in range(1, len(a)):
         if not np.array_equal(a[i], a[keep[-1]]):
@@ -160,7 +222,7 @@ def _equals(a, b) -> bool:
     return _norm_geom(a) == _norm_geom(b)
 
 
-st_equals = _pair_udf(_equals, BooleanType())
+st_equals = _env_pair_udf(_equals, False, env_round=12)
 
 # -- measures ----------------------------------------------------------------
 
@@ -385,8 +447,8 @@ def _polygonize_wkb(g):
 st_polygonize = _unary_udf(_polygonize_wkb, BinaryType())
 st_isvalid = _unary_udf(ops.is_valid, BooleanType())
 st_issimple = _unary_udf(ops.is_simple, BooleanType())
-st_crosses = _pair_udf(ops.crosses, BooleanType())
-st_overlaps = _pair_udf(ops.overlaps, BooleanType())
+st_crosses = _env_pair_udf(ops.crosses, False)
+st_overlaps = _env_pair_udf(ops.overlaps, False)
 
 
 @F.pandas_udf(BinaryType())

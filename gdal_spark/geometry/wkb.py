@@ -415,6 +415,161 @@ def decode_linestring_batch(blobs):
     return ok, xs, ys, npv
 
 
+def decode_point_batch(blobs):
+    """Vectorized decode of LE 2-D 21-byte point WKBs inside a mixed
+    batch. Returns ``(ok, xs, ys)`` with xs/ys aligned to ``ok`` rows."""
+    n = len(blobs)
+    if n == 0:
+        return np.zeros(0, dtype=bool), None, None
+    lens = np.fromiter(
+        (0 if b is None else len(b) for b in blobs), np.int64, count=n
+    )
+    ok = lens == 21
+    if not ok.any():
+        return np.zeros(n, dtype=bool), None, None
+    cat = b"".join(bytes(b) for b in blobs if b is not None)
+    flat = np.frombuffer(cat, dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    s = starts.copy()
+    s[~ok] = 0
+    b0 = flat[np.minimum(s, len(flat) - 1)]
+    gtype = _u32_gather(flat, s + 1)
+    ok &= (b0 == 1) & (gtype == WKB_POINT)
+    ks = np.nonzero(ok)[0]
+    if not len(ks):
+        return ok, None, None
+    idx = s[ks, None] + 5 + np.arange(16, dtype=np.int64)[None, :]
+    xy = flat[idx].view("<f8")
+    return ok, np.ascontiguousarray(xy[:, 0]), np.ascontiguousarray(xy[:, 1])
+
+
+def parse_wkb_batch(blobs):
+    """Column-batched parse → list of geometry tuples (same shapes as
+    :func:`parse_wkb`; None rows stay None). The dominant little-endian
+    2-D shapes — Point, LineString, single-ring Polygon — decode through
+    the vectorized batch gathers (one header pass + one fancy-index
+    gather per Arrow batch) instead of a per-row byte walk; everything
+    else falls back to parse_wkb."""
+    n = len(blobs)
+    out: list = [None] * n
+    if n == 0:
+        return out
+    okpt, pxs, pys = decode_point_batch(blobs)
+    for j, i in enumerate(np.nonzero(okpt)[0]):
+        out[i] = ("Point", (float(pxs[j]), float(pys[j])))
+    okpl, xs, ys, npv = decode_polygon1_batch(blobs)
+    for j, i in enumerate(np.nonzero(okpl)[0]):
+        m = int(npv[j])
+        ring = np.empty((m, 2))
+        ring[:, 0] = xs[j, :m]
+        ring[:, 1] = ys[j, :m]
+        out[i] = ("Polygon", [ring])
+    okls, lxs, lys, lnp = decode_linestring_batch(blobs)
+    for j, i in enumerate(np.nonzero(okls)[0]):
+        m = int(lnp[j])
+        c = np.empty((m, 2))
+        c[:, 0] = lxs[j, :m]
+        c[:, 1] = lys[j, :m]
+        out[i] = ("LineString", c)
+    for i, b in enumerate(blobs):
+        if out[i] is None and b is not None:
+            out[i] = parse_wkb(bytes(b))
+    return out
+
+
+def _tuple_envelope(g):
+    """(minx, miny, maxx, maxy) of a parsed geometry tuple — same
+    all-coordinate walk as ops.envelope (holes included); NaN for empty."""
+    name, payload = g
+    if name == "Point":
+        return payload[0], payload[1], payload[0], payload[1]
+    if name == "LineString":
+        c = np.asarray(payload, dtype=float)
+        if len(c) == 0:
+            return (np.nan,) * 4
+        return c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()
+    if name == "Polygon":
+        boxes = [_tuple_envelope(("LineString", r)) for r in payload if len(r)]
+    else:  # Multi* / GeometryCollection
+        boxes = [_tuple_envelope(child) for child in payload]
+    boxes = [b for b in boxes if not np.isnan(b[0])]
+    if not boxes:
+        return (np.nan,) * 4
+    return (min(b[0] for b in boxes), min(b[1] for b in boxes),
+            max(b[2] for b in boxes), max(b[3] for b in boxes))
+
+
+def envelopes_batch(blobs, _dedup: bool = True):
+    """Batched envelope gather — the bbox half of the reference's
+    FilterGeometry staging (ogrlayer.cpp:2253-2325: envelope reject
+    before the exact geometry test). Returns ``(minx, miny, maxx, maxy,
+    parsed)`` float64 arrays with NaN for NULL/empty rows; ``parsed``
+    holds the geometry tuple for rows that needed a per-row parse so the
+    caller can reuse it instead of parsing twice.
+
+    Repeated blobs (the broadcast dim side of a spatial join repeats a
+    handful of geometries across the whole batch) are deduped first:
+    envelopes are computed once per distinct blob and scattered back."""
+    n = len(blobs)
+    minx = np.full(n, np.nan)
+    miny = np.full(n, np.nan)
+    maxx = np.full(n, np.nan)
+    maxy = np.full(n, np.nan)
+    parsed: list = [None] * n
+    if n == 0:
+        return minx, miny, maxx, maxy, parsed
+    if _dedup and n >= 32:
+        index: dict = {}
+        for b in blobs:
+            if b is not None and b not in index:
+                index[b] = len(index)
+        if 2 * len(index) <= n:
+            res = envelopes_batch(list(index), _dedup=False)
+            pos = np.fromiter(
+                (-1 if b is None else index[b] for b in blobs),
+                np.int64, count=n,
+            )
+            has = pos >= 0
+            hp = pos[has]
+            minx[has] = res[0][hp]
+            miny[has] = res[1][hp]
+            maxx[has] = res[2][hp]
+            maxy[has] = res[3][hp]
+            if any(g is not None for g in res[4]):
+                for i in np.nonzero(has)[0].tolist():
+                    parsed[i] = res[4][pos[i]]
+            return minx, miny, maxx, maxy, parsed
+    handled = np.zeros(n, dtype=bool)
+    okpt, pxs, pys = decode_point_batch(blobs)
+    ks = np.nonzero(okpt)[0]
+    if len(ks):
+        minx[ks] = maxx[ks] = pxs
+        miny[ks] = maxy[ks] = pys
+        handled |= okpt
+    for ok, xs, ys, npv in (decode_polygon1_batch(blobs),
+                            decode_linestring_batch(blobs)):
+        ks = np.nonzero(ok)[0]
+        if not len(ks):
+            continue
+        # pad cells repeat the row's first coordinate so min/max hold
+        padm = np.arange(xs.shape[1])[None, :] >= npv[:, None]
+        x = np.where(padm, xs[:, :1], xs)
+        y = np.where(padm, ys[:, :1], ys)
+        minx[ks] = x.min(axis=1)
+        miny[ks] = y.min(axis=1)
+        maxx[ks] = x.max(axis=1)
+        maxy[ks] = y.max(axis=1)
+        handled |= ok
+    for i, b in enumerate(blobs):
+        if b is None or handled[i]:
+            continue
+        g = parse_wkb(bytes(b))
+        parsed[i] = g
+        minx[i], miny[i], maxx[i], maxy[i] = _tuple_envelope(g)
+    return minx, miny, maxx, maxy, parsed
+
+
 def polygon_rings(buf: bytes) -> list[np.ndarray]:
     """All rings of a Polygon/MultiPolygon WKB as a flat list of (N,2) arrays,
     exterior-first per part."""
