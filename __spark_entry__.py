@@ -3627,6 +3627,49 @@ def _oracle_warp_cutline() -> str:
 _lazy_oracle("warp_cutline_checksum", _oracle_warp_cutline)
 
 
+@_register("warp_cutline_blend_checksum")
+def q_warp_cutline_blend_checksum(spark, sf_dir):
+    """CUTLINE_BLEND_DIST (apps/gdalwarp_lib.cpp warp option →
+    alg/gdalcutline.cpp BlendMaskGenerator): the binary cutline mask
+    feathered over ±blend source px of the boundary; fractional densities
+    mix sampled values with init per GWKSetPixelValueRealT
+    (alg/gdalwarpkernel.cpp:1545-1569). Concave cutline + hole crossing
+    block boundaries; blend ramps span blocks (full-boundary distances
+    keep the result partition-invariant)."""
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, synth_raster
+    from gdal_spark.raster.warp import warp_affine
+
+    src_meta = _terrain_meta()
+    dst_meta = RasterMeta(width=80, height=50, dtype="float64", block_w=32, block_h=25,
+                          gt=(980.0, 12.0, 0.0, 5020.0, 0.0, -12.5))
+    cut = _cutline_fixture_wkb(polygon_wkb)
+    out = warp_affine(synth_raster(spark, src_meta), src_meta, dst_meta,
+                      alg="bilinear", init=-1.0, cutline=cut,
+                      cutline_blend_dist=4.0)
+    cs = int(checksum_df(out, dst_meta))
+    return spark.createDataFrame([(cs,)], "checksum BIGINT")
+
+
+def _oracle_warp_cutline_blend() -> str:
+    from gdal_spark.geometry.wkb import polygon_wkb
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.model import RasterMeta
+    from gdal_spark.raster.warp import warp_affine_np
+
+    full, src_meta = _terrain_full_np()
+    dst_meta = RasterMeta(width=80, height=50, dtype="float64", block_w=32, block_h=25,
+                          gt=(980.0, 12.0, 0.0, 5020.0, 0.0, -12.5))
+    img = warp_affine_np(full, src_meta, dst_meta, alg="bilinear", init=-1.0,
+                         cutline=_cutline_fixture_wkb(polygon_wkb),
+                         cutline_blend_dist=4.0)
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("warp_cutline_blend_checksum", _oracle_warp_cutline_blend)
+
+
 def _rasterize_z_fixture():
     """Sloped 3-D features spanning blocks: a tilted triangle + quad (fill
     burns first-vertex Z), a 3-D polyline (Z interpolates per pixel), and

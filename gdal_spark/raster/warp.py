@@ -174,33 +174,108 @@ def cutline_mask_np(polys_px, y0: int, x0: int, h: int, w: int) -> np.ndarray:
     return m
 
 
+def cutline_density_np(
+    polys_px, y0: int, x0: int, h: int, w: int, blend_dist: float = 0.0,
+) -> np.ndarray:
+    """Source-validity DENSITY over the (h, w) window — BlendMaskGenerator
+    (alg/gdalcutline.cpp:52-186) when ``blend_dist`` > 0: the binary
+    scanline mask feathered across ±blend px of the cutline boundary. At
+    each source pixel center (ix+.5, iy+.5), dist = distance to the
+    polygon boundary (the reference's forceToMultiLineString of the
+    cutline); dist > blend keeps the binary mask; otherwise density is
+    ``0.5 + (dist/blend)/2`` inside and ``0.5 - (dist/blend)/2`` outside.
+
+    Distances go to the FULL boundary — identical to the reference's
+    chunk-clipped lines for every pixel whose decision depends on it (any
+    boundary point within blend of an in-chunk center lies inside the
+    chunk rect grown by blend+1, the reference's clip window), which also
+    makes the result independent of block partitioning."""
+    m = cutline_mask_np(polys_px, y0, x0, h, w)
+    if blend_dist <= 0.0:
+        return m
+    from gdal_spark.geometry import kernels as _k
+
+    rings = [np.asarray(r, dtype=np.float64)
+             for rr in polys_px for r in rr if len(r) >= 2]
+    if not rings:
+        return m
+    gx = np.arange(w, dtype=np.float64) + x0 + 0.5
+    gy = np.arange(h, dtype=np.float64) + y0 + 0.5
+    allxy = np.vstack(rings)
+    # only pixels inside the boundary envelope ± blend can have
+    # dist ≤ blend (the reference's iXMin..iYMax window, as a superset)
+    bx = (gx >= allxy[:, 0].min() - blend_dist) & (gx <= allxy[:, 0].max() + blend_dist)
+    by = (gy >= allxy[:, 1].min() - blend_dist) & (gy <= allxy[:, 1].max() + blend_dist)
+    if not bx.any() or not by.any():
+        return m
+    px, py = np.meshgrid(gx[bx], gy[by])
+    pxf, pyf = px.ravel(), py.ravel()
+    d2 = np.full(pxf.shape, np.inf)
+    for r in rings:
+        d2 = np.minimum(
+            d2,
+            _k.point_segment_dist2_np(
+                pxf, pyf, r[:-1, 0], r[:-1, 1], r[1:, 0], r[1:, 1]
+            ).min(axis=0),
+        )
+    dist = np.sqrt(d2).reshape(px.shape)
+    sub = m[np.ix_(by, bx)]
+    ratio = np.where(
+        sub > 0,
+        0.5 + (dist / blend_dist) * 0.5,   # inside
+        0.5 - (dist / blend_dist) * 0.5,   # outside
+    )
+    m[np.ix_(by, bx)] = np.where(dist > blend_dist, sub, ratio)
+    return m
+
+
 def _apply_cutline_np(
     out: np.ndarray, polys_px, to_src, src_meta: "RasterMeta",
-    px_off: int, py_off: int, init: float,
+    px_off: int, py_off: int, init: float, blend_dist: float = 0.0,
 ) -> np.ndarray:
-    """Mask a dst block in place: a dst pixel survives iff the SOURCE
-    pixel containing its sampled center is inside the cutline — exactly
+    """Mask a dst block in place: a dst pixel survives with the validity
+    DENSITY of the SOURCE pixel containing its sampled center — exactly
     the reference's behavior for near resampling (invalid source pixel →
     dstnodata), and a documented center-validity approximation for
-    interpolating kernels (the reference density-blends edge taps;
-    CUTLINE_BLEND_DIST is out of scope)."""
+    interpolating kernels (the reference density-blends edge taps).
+
+    ``blend_dist`` (CUTLINE_BLEND_DIST, apps/gdalwarp_lib.cpp:1245 →
+    alg/gdalcutline.cpp BlendMaskGenerator): densities in (0, 1) mix the
+    sampled value with the dst init value per GWKSetPixelValueRealT
+    (alg/gdalwarpkernel.cpp:1545-1569): dst = (v·d + init·(1−d)·1) /
+    (d + (1−d)), with the reference's 0.0001/0.9999 short-circuits."""
     h, w = out.shape
     dy, dx = np.meshgrid(np.arange(h) + py_off, np.arange(w) + px_off, indexing="ij")
     sx, sy = to_src(dx.ravel() + 0.5, dy.ravel() + 0.5)
     ix = np.floor(np.asarray(sx)).astype(np.int64)
     iy = np.floor(np.asarray(sy)).astype(np.int64)
     inside = (ix >= 0) & (ix < src_meta.width) & (iy >= 0) & (iy < src_meta.height)
-    keep = np.zeros(h * w, dtype=bool)
+    flat = out.ravel()
+    if blend_dist <= 0.0:
+        keep = np.zeros(h * w, dtype=bool)
+        if inside.any():
+            mx0 = int(ix[inside].min())
+            mx1 = int(ix[inside].max()) + 1
+            my0 = int(iy[inside].min())
+            my1 = int(iy[inside].max()) + 1
+            m = cutline_mask_np(polys_px, my0, mx0, my1 - my0, mx1 - mx0)
+            keep[inside] = m[iy[inside] - my0, ix[inside] - mx0] > 0
+        flat[~keep] = init
+        return flat.reshape(h, w)
+    dens = np.zeros(h * w)
     if inside.any():
         mx0 = int(ix[inside].min())
         mx1 = int(ix[inside].max()) + 1
         my0 = int(iy[inside].min())
         my1 = int(iy[inside].max()) + 1
-        m = cutline_mask_np(polys_px, my0, mx0, my1 - my0, mx1 - mx0)
-        keep[inside] = m[iy[inside] - my0, ix[inside] - mx0] > 0
-    flat = out.ravel()
-    flat[~keep] = init
-    return flat.reshape(h, w)
+        d = cutline_density_np(
+            polys_px, my0, mx0, my1 - my0, mx1 - mx0, blend_dist
+        )
+        dens[inside] = d[iy[inside] - my0, ix[inside] - mx0]
+    # GWKSetPixelValueRealT: exact op order so the NumPy oracle bit-matches
+    mixed = (flat * dens + init * ((1.0 - dens) * 1.0)) / (dens + (1.0 - dens))
+    res = np.where(dens >= 0.9999, flat, np.where(dens < 0.0001, init, mixed))
+    return res.reshape(h, w)
 
 
 def warp_reduce_np(
@@ -382,6 +457,7 @@ def warp_affine(
     init: float = 0.0,
     band: int = 1,
     cutline=None,
+    cutline_blend_dist: float = 0.0,
 ) -> DataFrame:
     """Warp src raster onto the dst grid; returns float64 dst tiles.
 
@@ -469,7 +545,8 @@ def warp_affine(
         .select("dbx", "dby", "block_x", "block_y", "sx0", "sy0", "sx1", "sy1")
     )
     return _gather_and_warp(
-        need, src_tiles, src_meta, dst_meta, alg, init, band, tf=None, cutline=cutline
+        need, src_tiles, src_meta, dst_meta, alg, init, band, tf=None,
+        cutline=cutline, cutline_blend_dist=cutline_blend_dist,
     )
 
 
@@ -483,6 +560,7 @@ def _gather_and_warp(
     band: int,
     tf,
     cutline=None,
+    cutline_blend_dist: float = 0.0,
 ) -> DataFrame:
     """Shared gather join + per-dst-block resample kernel; ``tf`` is an
     optional geo→geo transform (CRS reprojection) composed between the
@@ -556,6 +634,7 @@ def _gather_and_warp(
             out = _apply_cutline_np(
                 np.ascontiguousarray(out), polys_px, to_src, src_meta,
                 dbx * dst_meta.block_w, dby * dst_meta.block_h, init,
+                blend_dist=cutline_blend_dist,
             )
         return pd.DataFrame(
             [(band, dby, dbx, h, w, out.tobytes())],
@@ -568,6 +647,7 @@ def _gather_and_warp(
 def warp_affine_np(
     src: np.ndarray, src_meta: RasterMeta, dst_meta: RasterMeta,
     alg: str = "near", init: float = 0.0, cutline=None,
+    cutline_blend_dist: float = 0.0,
 ) -> np.ndarray:
     """Single-node oracle with the identical sampling path."""
     h, w = dst_meta.height, dst_meta.width
@@ -585,6 +665,7 @@ def warp_affine_np(
         out = _apply_cutline_np(
             np.ascontiguousarray(out), _cutline_polys_px(cutline, src_meta),
             _make_to_src_px(dst_meta, src_meta), src_meta, 0, 0, init,
+            blend_dist=cutline_blend_dist,
         )
     return out
 
@@ -613,6 +694,7 @@ def warp_crs(
     init: float = 0.0,
     band: int = 1,
     cutline=None,
+    cutline_blend_dist: float = 0.0,
 ) -> DataFrame:
     """gdalwarp with reprojection: dst px → dst geo → (dst_crs→src_crs via
     geometry/crs.py Krüger transforms) → src geo → src px."""
@@ -620,7 +702,8 @@ def warp_crs(
 
     tf = _crs.transformer(dst_crs, src_crs)
     return warp_with_transform(
-        src_tiles, src_meta, dst_meta, tf, alg, init, band, cutline=cutline
+        src_tiles, src_meta, dst_meta, tf, alg, init, band, cutline=cutline,
+        cutline_blend_dist=cutline_blend_dist,
     )
 
 
@@ -633,6 +716,7 @@ def warp_with_transform(
     init: float = 0.0,
     band: int = 1,
     cutline=None,
+    cutline_blend_dist: float = 0.0,
 ) -> DataFrame:
     """Generic non-affine warp: ``tf`` is any vectorized geo→geo mapping
     (dst CRS geo → src CRS geo) slotted between the two geotransforms —
@@ -707,7 +791,8 @@ def warp_with_transform(
         .select("dbx", "dby", "block_x", "block_y", "sx0", "sy0", "sx1", "sy1")
     )
     return _gather_and_warp(
-        need, src_tiles, src_meta, dst_meta, alg, init, band, tf=tf, cutline=cutline
+        need, src_tiles, src_meta, dst_meta, alg, init, band, tf=tf,
+        cutline=cutline, cutline_blend_dist=cutline_blend_dist,
     )
 
 
@@ -735,6 +820,7 @@ def warp_with_transform_np(
     alg: str = "near",
     init: float = 0.0,
     cutline=None,
+    cutline_blend_dist: float = 0.0,
 ) -> np.ndarray:
     """Single-node oracle for warp_with_transform."""
     to_src = _make_to_src_px(dst_meta, src_meta, tf)
@@ -754,7 +840,7 @@ def warp_with_transform_np(
     if cutline is not None:
         out = _apply_cutline_np(
             np.ascontiguousarray(out), _cutline_polys_px(cutline, src_meta),
-            to_src, src_meta, 0, 0, init,
+            to_src, src_meta, 0, 0, init, blend_dist=cutline_blend_dist,
         )
     return out
 

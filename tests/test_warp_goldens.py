@@ -200,3 +200,92 @@ def test_warp_gcp_and_tps_match_oracle(spark):
     tfit = tps_fit(pts, vals)
     tx, ty = tps_transform(pts[:, 0], pts[:, 1], tfit)
     assert np.allclose(np.column_stack([tx, ty]), vals, atol=1e-9)
+
+
+# -- CUTLINE_BLEND_DIST (alg/gdalcutline.cpp BlendMaskGenerator) --------------
+
+
+def _blend_fixture():
+    from gdal_spark.geometry.wkb import polygon_wkb
+
+    src_meta = RasterMeta(width=64, height=48, dtype="float64", block_w=16,
+                          block_h=16, gt=(1000.0, 10.0, 0.0, 5000.0, 0.0, -10.0))
+    rng = np.random.default_rng(42)
+    src = np.round(rng.uniform(0, 255, (48, 64)))
+    dst_meta = RasterMeta(width=80, height=60, dtype="float64", block_w=32,
+                          block_h=20, gt=(1000.0, 8.0, 0.0, 5000.0, 0.0, -8.0))
+    cut = polygon_wkb(
+        [(1080.0, 4920.0), (1550.0, 4900.0), (1500.0, 4620.0),
+         (1300.0, 4800.0), (1100.0, 4580.0), (1080.0, 4920.0)],
+        holes=[[(1200.0, 4850.0), (1330.0, 4840.0), (1300.0, 4760.0),
+                (1200.0, 4780.0), (1200.0, 4850.0)]],
+    )
+    return src, src_meta, dst_meta, cut
+
+
+def test_cutline_blend_density_reference_formula():
+    """cutline_density_np vs a scalar per-pixel re-derivation of
+    BlendMaskGenerator (alg/gdalcutline.cpp:137-176): polyMask from the
+    scanline burn; dist = min point-to-boundary-segment distance at the
+    pixel center; dist>blend keeps the binary mask; else
+    0.5 ± (dist/blend)/2."""
+    from gdal_spark.raster.warp import (
+        _cutline_polys_px, cutline_density_np, cutline_mask_np,
+    )
+
+    src, src_meta, _, cut = _blend_fixture()
+    polys = _cutline_polys_px(cut, src_meta)
+    blend = 3.0
+    got = cutline_density_np(polys, 0, 0, 48, 64, blend)
+    mask = cutline_mask_np(polys, 0, 0, 48, 64)
+    segs = []
+    for rings in polys:
+        for r in rings:
+            for j in range(len(r) - 1):
+                segs.append((r[j], r[j + 1]))
+    exp = np.empty((48, 64))
+    for iy in range(48):
+        for ix in range(64):
+            px, py = ix + 0.5, iy + 0.5
+            d2 = np.inf
+            for a, b in segs:
+                dx, dy = b[0] - a[0], b[1] - a[1]
+                ll = dx * dx + dy * dy
+                t = ((px - a[0]) * dx + (py - a[1]) * dy) / (ll if ll else 1.0)
+                t = min(max(t, 0.0), 1.0)
+                d2 = min(d2, (px - (a[0] + t * dx)) ** 2 + (py - (a[1] + t * dy)) ** 2)
+            dist = np.sqrt(d2)
+            if dist > blend:
+                exp[iy, ix] = mask[iy, ix]
+            elif mask[iy, ix] > 0:
+                exp[iy, ix] = 0.5 + (dist / blend) * 0.5
+            else:
+                exp[iy, ix] = 0.5 - (dist / blend) * 0.5
+    assert np.array_equal(got, exp)
+    assert got.min() >= 0.0 and got.max() <= 1.0
+    # the feather actually engages: fractional densities exist both sides
+    assert ((got > 0) & (got < 0.5)).any() and ((got > 0.5) & (got < 1)).any()
+
+
+def test_warp_cutline_blend_distributed_matches_oracle(spark):
+    """Distributed warp_affine with CUTLINE_BLEND_DIST must be bit-equal
+    to the single-node oracle across block boundaries (the density uses
+    full-boundary distances, so it is partition-invariant), and reduce to
+    the binary-mask result when blend=0."""
+    src, src_meta, dst_meta, cut = _blend_fixture()
+    tiles = tiles_from_array(spark, src, src_meta)
+    for blend in (0.0, 2.5):
+        out = tiles_to_array(
+            warp_affine(tiles, src_meta, dst_meta, alg="bilinear", init=-1.0,
+                        cutline=cut, cutline_blend_dist=blend),
+            dst_meta,
+        )
+        exp = warp_affine_np(src, src_meta, dst_meta, alg="bilinear",
+                             init=-1.0, cutline=cut, cutline_blend_dist=blend)
+        assert np.array_equal(out, exp), blend
+    # blended result differs from binary where the feather engages
+    b0 = warp_affine_np(src, src_meta, dst_meta, alg="bilinear", init=-1.0,
+                        cutline=cut)
+    b1 = warp_affine_np(src, src_meta, dst_meta, alg="bilinear", init=-1.0,
+                        cutline=cut, cutline_blend_dist=2.5)
+    assert (b0 != b1).any()
