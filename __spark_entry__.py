@@ -2986,6 +2986,118 @@ def _oracle_tile_pyramid() -> str:
 _lazy_oracle("raster_tile_pyramid_checksums", _oracle_tile_pyramid)
 
 
+@_register("png_reference_checksums")
+def q_png_reference_checksums(spark, sf_dir):
+    """Hand-rolled PNG codec (sources/png.py) vs the reference's OWN
+    documented fixture checksums: test.png palette band 57921
+    (autotest/gdrivers/png.py:38), rgba16.png bands 3/4 = 1815/4873
+    (png.py:102,112 — 16-bit), and the Adam7-INTERLACED
+    stefan_full_rgba.png band 1 = 12603 (gdrivers/tga.py:147, the same
+    pixels across formats)."""
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.sources.png import decode_png
+
+    fixtures = [
+        ("/root/reference/autotest/gdrivers/data/png/test.png", 1),
+        ("/root/reference/autotest/gdrivers/data/png/rgba16.png", 3),
+        ("/root/reference/autotest/gdrivers/data/png/rgba16.png", 4),
+        ("/root/reference/autotest/gcore/data/stefan_full_rgba.png", 1),
+    ]
+    rows = []
+    for i, (path, band) in enumerate(fixtures):
+        bands, _ = decode_png(open(path, "rb").read())
+        rows.append((i, int(checksum_np(bands[band]))))
+    return spark.createDataFrame(rows, "fixture INT, checksum BIGINT").orderBy("fixture")
+
+
+def _oracle_png_checksums() -> str:
+    # the reference's documented values, in fixture order
+    vals = [57921, 1815, 4873, 12603]
+    rows = ", ".join(
+        f"({i}, CAST({v} AS BIGINT))" for i, v in enumerate(vals)
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS t(fixture, checksum) ORDER BY fixture"
+    )
+
+
+_lazy_oracle("png_reference_checksums", _oracle_png_checksums)
+
+
+@_register("raster_tile_pyramid_png_checksums")
+def q_raster_tile_pyramid_png_checksums(spark, sf_dir):
+    """The tile pyramid with the reference CLI's DEFAULT output format —
+    PNG tiles (tile_format='png', encoded executor-side by the
+    hand-rolled codec). The oracle is the same single-node warp slicing
+    as the GeoTIFF pyramid gate: PNG is a pixel-identical re-encoding of
+    the same sampled values."""
+    import tempfile as _tempfile
+
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.model import byte_fixture, tiles_from_array
+    from gdal_spark.raster.tile_pyramid import raster_tile_pyramid
+    from gdal_spark.sources.png import decode_png
+
+    arr, meta = byte_fixture()
+    out_dir = _tempfile.mkdtemp(prefix="pyramid_png_")
+    written = raster_tile_pyramid(
+        tiles_from_array(spark, arr, meta), meta, 26711, out_dir,
+        zooms=_PYRAMID_ZOOMS, tile_format="png",
+    ).collect()
+    rows = []
+    for r in sorted(written, key=lambda r: (r.z, r.x, r.y)):
+        assert r.path.endswith(".png")
+        bands, _ = decode_png(open(r.path, "rb").read())
+        rows.append((r.z, int(r.x), int(r.y), int(checksum_np(bands[1]))))
+    return spark.createDataFrame(
+        rows, "z INT, x LONG, y LONG, checksum BIGINT"
+    ).orderBy("z", "x", "y")
+
+
+_lazy_oracle("raster_tile_pyramid_png_checksums", _oracle_tile_pyramid)
+
+
+@_register("multimodal_png_real_decode")
+def q_multimodal_png_real_decode(spark, sf_dir):
+    """decode='real' end-to-end IN-CONTAINER: executor-side synth pixels
+    → encode_png → Arrow batch → decode_png → per-image stats. The
+    oracle regenerates the pixels from the seeds WITHOUT the codec, so a
+    lossy or buggy encode/decode roundtrip cannot hash-match."""
+    from gdal_spark.multimodal import image_features, synth_png_media
+
+    media = synth_png_media(spark, 48)
+    feats = image_features(media, decode="real")
+    hist_cols = [F.col("hist")[i].alias(f"h{i}") for i in range(8)]
+    return feats.select("media_id", "mean_e6", "std_e6", *hist_cols).orderBy("media_id")
+
+
+def _oracle_png_real_decode() -> str:
+    rows = []
+    for mid in range(48):
+        rng = np.random.default_rng(mid + 1)
+        w = 32 + mid % 29
+        h = 32 + (mid * 7) % 23
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        hist = np.bincount(img.ravel() >> 5, minlength=8)
+        rows.append(
+            f"({mid}, {int(np.floor(img.mean() * 1e6 + 0.5))}, "
+            f"{int(np.floor(img.std() * 1e6 + 0.5))}, "
+            + ", ".join(str(int(x)) for x in hist)
+            + ")"
+        )
+    hcols = ", ".join(f"CAST(h{i} AS BIGINT) AS h{i}" for i in range(8))
+    hnames = ", ".join(f"h{i}" for i in range(8))
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(mean_e6 AS BIGINT) AS mean_e6, "
+        f"CAST(std_e6 AS BIGINT) AS std_e6, {hcols} FROM (VALUES "
+        + ", ".join(rows)
+        + f") t(media_id, mean_e6, std_e6, {hnames}) ORDER BY media_id"
+    )
+
+
+_lazy_oracle("multimodal_png_real_decode", _oracle_png_real_decode)
+
+
 _GEOD_POLYS = [
     (1, [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]),
     (2, [(10.0, 45.0), (12.5, 45.0), (11.0, 47.0), (10.0, 45.0)]),

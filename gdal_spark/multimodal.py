@@ -2,12 +2,14 @@
 
 Media are opaque ``BINARY`` payloads + a typed metadata struct; all
 processing is Arrow-batched ``mapInPandas`` with REAL Spark plumbing
-(schemas, partitioning, batch shapes) and a clearly-gated decode step:
-the actual codecs (PIL / libav) are not in this container, so
-``decode=`` defaults to a deterministic fake (seeded from the payload
-bytes) and ``decode="real"`` raises ``NotImplementedError`` unless the
-codec import succeeds. Swapping in a real decoder changes ONE function —
-every schema, UDF signature, and shuffle stays identical.
+(schemas, partitioning, batch shapes) and a clearly-gated decode step.
+``decode="real"`` decodes PNG payloads IN-CONTAINER via the hand-rolled
+codec (sources/png.py); other formats (JPEG / libav media) still need
+PIL/codecs and raise ``NotImplementedError`` when absent. ``decode``
+defaults to a deterministic fake (seeded from the payload bytes) for
+plumbing tests that want format-independent pixels. Swapping decoders
+changes ONE function — every schema, UDF signature, and shuffle stays
+identical.
 
 MEDIA_SCHEMA:
     media_id LONG, kind STRING ('image'|'audio'|'video'), data BINARY,
@@ -51,17 +53,29 @@ def fake_decode_image(data: bytes, width: int, height: int, channels: int) -> np
     return rng.integers(0, 256, (height, width, channels), dtype=np.uint8)
 
 
-def real_decode_image(data: bytes, *a) -> np.ndarray:  # pragma: no cover
-    if not _HAVE_PIL:
+def real_decode_image(data: bytes, *a) -> np.ndarray:
+    """Real decode. PNG payloads decode IN-CONTAINER via the hand-rolled
+    codec (sources/png.py — the same band model as the reference's PNG
+    driver); other formats need PIL. Shape matches PIL's np.asarray
+    convention: (H, W) for single-band, (H, W, C) otherwise."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from gdal_spark.sources.png import decode_png
+
+        bands, _ = decode_png(bytes(data))
+        if len(bands) == 1:
+            return bands[1]
+        return np.stack([bands[b] for b in sorted(bands)], axis=-1)
+    if not _HAVE_PIL:  # pragma: no cover - PIL absent in this container
         raise NotImplementedError(
-            "real image decode needs PIL, which is not installed; use the "
+            "real decode of non-PNG images needs PIL, which is not "
+            "installed; PNG decodes natively (sources/png.py), or use the "
             "deterministic fake (decode='fake') for plumbing tests"
         )
-    import io
+    import io  # pragma: no cover
 
-    from PIL import Image
+    from PIL import Image  # pragma: no cover
 
-    return np.asarray(Image.open(io.BytesIO(data)))
+    return np.asarray(Image.open(io.BytesIO(data)))  # pragma: no cover
 
 
 def _decoder(decode: str):
@@ -86,6 +100,35 @@ def synth_media(spark: SparkSession, n: int, kind: str = "image") -> DataFrame:
         F.when(F.lit(kind) == "video", (F.pmod(F.xxhash64(i + 2), F.lit(120)) + 8).cast("int"))
         .otherwise(F.lit(1)).cast("int").alias("n_frames"),
     )
+
+
+def synth_png_media(spark: SparkSession, n: int) -> DataFrame:
+    """Media table whose payloads are REAL PNG bytes (RGB, deterministic
+    pixels seeded by media_id, encoded executor-side) — the in-container
+    end-to-end path for ``decode='real'``: synth pixels → encode_png →
+    Arrow batch → decode_png. An oracle can regenerate the pixels from
+    the seeds WITHOUT touching the codec, so a lossy/buggy roundtrip
+    cannot hide."""
+    from gdal_spark.sources.png import encode_png
+
+    def gen(iterator):
+        for pdf in iterator:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                rng = np.random.default_rng(mid + 1)
+                w = 32 + mid % 29
+                h = 32 + (mid * 7) % 23
+                img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                data = encode_png({c + 1: img[:, :, c] for c in range(3)})
+                rows.append((mid, "image", data, w, h, 3, 0, 1))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "data", "width", "height",
+                         "channels", "sample_rate", "n_frames"],
+            )
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def image_features(media: DataFrame, decode: str = "fake") -> DataFrame:

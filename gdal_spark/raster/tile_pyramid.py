@@ -15,9 +15,10 @@ Spark shape per zoom level:
    same shape the reference streams through its tiling loop
    single-threaded.
 
-Output tiles are GeoTIFF (this container has no PNG/JPEG codec; the
-reference's default PNG is a pixel-identical re-encoding of the same
-sampled values — the sampling math is what this module owes parity on).
+Output tiles are GeoTIFF by default or PNG (``tile_format="png"`` —
+the reference CLI's default output; the hand-rolled codec in
+sources/png.py), a pixel-identical re-encoding of the same sampled
+values.
 """
 
 from __future__ import annotations
@@ -80,12 +81,23 @@ def raster_tile_pyramid(
     init: float = 0.0,
     band: int = 1,
     compress: str | None = "deflate",
+    tile_format: str = "tif",
 ) -> DataFrame:
-    """Write the ``{out_dir}/{z}/{x}/{y}.tif`` tree for each zoom in
-    ``zooms``. Returns the written-tile summary (z, x, y, path) — one
-    DataFrame unioned over levels; each level is an independent
-    distributed warp whose blocks land directly in tile files."""
+    """Write the ``{out_dir}/{z}/{x}/{y}.{tile_format}`` tree for each
+    zoom in ``zooms`` (``tif`` or ``png`` — PNG is the reference CLI's
+    default; uint8/uint16 only). Returns the written-tile summary
+    (z, x, y, path) — one DataFrame unioned over levels; each level is an
+    independent distributed warp whose blocks land directly in tile
+    files."""
     from gdal_spark.sources.geotiff import encode_geotiff
+    from gdal_spark.sources.png import encode_png
+
+    if tile_format not in ("tif", "png"):
+        raise ValueError(f"tile_format must be tif or png, got {tile_format}")
+    if tile_format == "png" and np.dtype(src_meta.dtype) not in (
+        np.dtype(np.uint8), np.dtype(np.uint16)
+    ):
+        raise ValueError("png tiles support uint8/uint16 bands only")
 
     out = None
     for zoom in zooms:
@@ -122,9 +134,12 @@ def raster_tile_pyramid(
                     )
                     d = os.path.join(out_dir, str(zoom), str(tx))
                     os.makedirs(d, exist_ok=True)
-                    path = os.path.join(d, f"{ty}.tif")
+                    path = os.path.join(d, f"{ty}.{tile_format}")
                     with open(path, "wb") as f:
-                        f.write(encode_geotiff({int(b): arr}, tmeta, compress))
+                        if tile_format == "png":
+                            f.write(encode_png({int(b): arr}))
+                        else:
+                            f.write(encode_geotiff({int(b): arr}, tmeta, compress))
                     rows.append((zoom, tx, ty, path))
                 yield pd.DataFrame(rows, columns=["z", "x", "y", "path"])
 
