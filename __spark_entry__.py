@@ -2317,6 +2317,62 @@ def q_fgb_poly_read(spark, sf_dir):
 _lazy_oracle("fgb_poly_read", _oracle_shapefile_poly)
 
 
+@_register("gml_poly_read")
+def q_gml_poly_read(spark, sf_dir):
+    """GML WRITE → READ (ogr/ogrsf_frmts/gml/gmlreader.cpp surface,
+    sources/gml.py stdlib-XML pull parse): the POLY layer roundtripped
+    through GML3 posList/exterior encodings must reproduce the same
+    goldens as the shapefile/GPKG/FGB readers."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.sources.gml import read_gml, write_gml
+    from gdal_spark.sources.gpkg import read_gpkg
+
+    src = read_gpkg(spark, "/root/reference/autotest/ogr/data/gpkg/poly_golden.gpkg")
+    path = _os.path.join(_tempfile.mkdtemp(prefix="gml_"), "poly.gml")
+    write_gml(src.drop("fid"), path, layer="poly")
+    df = read_gml(spark, path)
+    return df.select(
+        F.col("EAS_ID").cast("long").alias("eas_id"),
+        "PRFEDEA",
+        F.floor(st_area(F.col("geometry")) + F.lit(0.5)).cast("long").alias("area_m"),
+    ).orderBy("eas_id")
+
+
+_lazy_oracle("gml_poly_read", _oracle_shapefile_poly)
+
+
+@_register("gml_archsites_read")
+def q_gml_archsites_read(spark, sf_dir):
+    """Reference-authored GML (autotest/ogr/data/gml/archsites.gml — a
+    WFS GML3 document with featureMembers, urn-named PROJECTED srs so no
+    axis flip, and .xsd-declared long/string field types): values pinned
+    to the file's literal content."""
+    from gdal_spark.sources.gml import read_gml
+
+    df = read_gml(spark, "/root/reference/autotest/ogr/data/gml/archsites.gml")
+    g = F.col("geometry")
+    from gdal_spark.functions.st import st_astext
+
+    return df.select(
+        "fid", F.col("cat").cast("long").alias("cat"), "str1",
+        st_astext(g).alias("wkt"),
+    ).orderBy("fid")
+
+
+def _oracle_gml_archsites() -> str:
+    return (
+        "SELECT * FROM (VALUES ('archsites.3951', CAST(1 AS BIGINT), "
+        "'Signature Rock', 'POINT (593493 4914730)')) "
+        "AS t(fid, cat, str1, wkt) ORDER BY fid"
+    )
+
+
+_lazy_oracle("gml_archsites_read", _oracle_gml_archsites)
+
+
 @_register("csv_geom_read")
 def q_csv_geom_read(spark, sf_dir):
     """CSV-with-geometry driver (ogr/ogrsf_frmts/csv/ WKT-column
@@ -3392,6 +3448,38 @@ def _oracle_viewshed() -> str:
 
 
 _lazy_oracle("viewshed_checksum", _oracle_viewshed)
+
+
+@_register("viewshed_cumulative_checksum")
+def q_viewshed_cumulative_checksum(spark, sf_dir):
+    """Cumulative viewshed (alg/viewshed/cumulative.cpp): observers on
+    the observerSpacing grid (x-outer/y-inner), per-observer Normal
+    viewsheds with visibleVal=1, uint32 rollup sum, then scaleOutput's
+    floor(255/max · v) 8-bit spread — embarrassingly parallel across
+    observers, one block-key rollup shuffle, scalar-max agg."""
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, synth_raster
+    from gdal_spark.raster.viewshed import viewshed_cumulative
+
+    meta = _terrain_meta()
+    out = viewshed_cumulative(
+        synth_raster(spark, meta), meta, spacing=32, observer_height=5.0)
+    out_meta = RasterMeta(width=meta.width, height=meta.height, dtype="float64",
+                          block_w=meta.block_w, block_h=meta.block_h, gt=meta.gt)
+    cs = checksum_df(out, out_meta)
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_viewshed_cumulative() -> str:
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.raster.viewshed import viewshed_cumulative_np
+
+    full, meta = _terrain_full_np()
+    img = viewshed_cumulative_np(full, 32, observer_height=5.0)
+    return f"SELECT CAST({checksum_np(img)} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("viewshed_cumulative_checksum", _oracle_viewshed_cumulative)
 
 
 @_register("viewshed_maxdist_checksum")
@@ -4760,6 +4848,36 @@ def _oracle_fill() -> str:
 
 
 _lazy_oracle("fillnodata_checksum", _oracle_fill)
+
+
+@_register("fillnodata_smooth_checksum")
+def q_fillnodata_smooth_checksum(spark, sf_dir):
+    """gdal_fillnodata -si (GDALMultiFilter, alg/rasterfill.cpp:126-383):
+    3 post-fill 3×3 average passes over the interpolated pixels only,
+    float32 rolling-buffer semantics, fixed masks — distributed as
+    (max_distance + iterations)-deep halo blocks."""
+    from gdal_spark.raster.analysis import fillnodata
+    from gdal_spark.raster.checksum import checksum_df
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array
+
+    meta = RasterMeta(width=24, height=16, dtype="float64", block_w=8, block_h=8)
+    tiles = tiles_from_array(spark, _fill_fixture(), meta)
+    cs = checksum_df(
+        fillnodata(tiles, meta, -999.0, max_distance=5, smoothing_iterations=3),
+        meta,
+    )
+    return spark.createDataFrame([(int(cs),)], "checksum BIGINT")
+
+
+def _oracle_fill_smooth() -> str:
+    from gdal_spark.raster.analysis import fillnodata_smooth_np
+    from gdal_spark.raster.checksum import checksum_np
+
+    cs = checksum_np(fillnodata_smooth_np(_fill_fixture(), -999.0, 5, 3))
+    return f"SELECT CAST({cs} AS BIGINT) AS checksum"
+
+
+_lazy_oracle("fillnodata_smooth_checksum", _oracle_fill_smooth)
 
 
 @_register("translate_checksum")

@@ -337,27 +337,82 @@ def fillnodata_np(arr: np.ndarray, nodata: float, max_distance: int) -> np.ndarr
     return out
 
 
+def fill_smooth_np(
+    filled: np.ndarray, t_mask: np.ndarray, f_mask: np.ndarray, iterations: int,
+) -> np.ndarray:
+    """GDALMultiFilter (alg/rasterfill.cpp:126-383) — the ``-si`` 3×3
+    average passes applied AFTER interpolation: only filled pixels
+    (``f_mask``) are smoothed; only valid-after-fill pixels (``t_mask``)
+    contribute; both masks are FIXED across iterations. Each pass sums
+    the 3×3 TMask'd neighbors in double in the reference's fixed order
+    (last line x−1,x,x+1; this; next) and casts the quotient to float32
+    (the reference's rolling buffers are float — every pixel passes
+    through float32 when smoothing runs, even unfiltered ones)."""
+    a = filled.astype(np.float32)
+    t = t_mask.astype(bool)
+    fm = f_mask.astype(bool)
+    h, w = a.shape
+    for _ in range(int(iterations)):
+        num = np.zeros((h, w), dtype=np.float64)
+        den = np.zeros((h, w), dtype=np.float64)
+        # accumulation order matches GDALFilterLine exactly
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                val = np.zeros((h, w), dtype=np.float64)
+                ok = np.zeros((h, w), dtype=bool)
+                ys0, ys1 = max(0, -dy), min(h, h - dy)
+                xs0, xs1 = max(0, -dx), min(w, w - dx)
+                val[ys0:ys1, xs0:xs1] = a[ys0 + dy : ys1 + dy, xs0 + dx : xs1 + dx]
+                ok[ys0:ys1, xs0:xs1] = t[ys0 + dy : ys1 + dy, xs0 + dx : xs1 + dx]
+                num += np.where(ok, val, 0.0)
+                den += ok
+        sm = np.divide(num, den, out=np.zeros_like(num), where=den > 0)
+        a = np.where(fm, sm.astype(np.float32), a)
+    return a.astype(filled.dtype)
+
+
+def fillnodata_smooth_np(
+    arr: np.ndarray, nodata: float, max_distance: int, smoothing_iterations: int = 0,
+) -> np.ndarray:
+    """fillnodata_np + the -si smoothing passes (single-node oracle)."""
+    filled = fillnodata_np(arr, nodata, max_distance)
+    if smoothing_iterations <= 0:
+        return filled
+    invalid = arr.astype(np.float64) == nodata
+    t_mask = filled != nodata
+    f_mask = invalid & t_mask
+    return fill_smooth_np(filled, t_mask, f_mask, smoothing_iterations)
+
+
 def fillnodata(
-    tiles: DataFrame, meta: RasterMeta, nodata: float, max_distance: int, band: int = 1
+    tiles: DataFrame, meta: RasterMeta, nodata: float, max_distance: int,
+    band: int = 1, smoothing_iterations: int = 0,
 ) -> DataFrame:
-    """Distributed fill: halo = max_distance so every directional scan
-    sees the same neighborhood the full-array oracle sees."""
+    """Distributed fill: halo = max_distance (+ smoothing_iterations when
+    -si is on) so every directional scan AND every 3×3 smoothing pass
+    sees the same neighborhood the full-array oracle sees — the fill is
+    exact within ``smoothing_iterations`` px of each block, which is all
+    the N halo rounds of the stencil can reach."""
     dtype = meta.dtype
-    padded = padded_blocks(tiles.filter(F.col("band") == band), meta, max_distance)
+    si = int(smoothing_iterations)
+    md_fill = int(max_distance)
+    padded = padded_blocks(
+        tiles.filter(F.col("band") == band), meta, md_fill + si
+    )
 
     def fill(iterator):
         for pdf in iterator:
             rows = []
             for _, r in pdf.iterrows():
-                md = int(r.halo)
+                halo = int(r.halo)
                 pad = np.frombuffer(r.data, dtype=dtype).reshape(
-                    r.h + 2 * md, r.w + 2 * md
+                    r.h + 2 * halo, r.w + 2 * halo
                 ).astype(np.float64)
                 # halo replicates edges OUTSIDE the raster; the full-array
                 # scan sees nothing there — mask those cells to nodata so
                 # block and oracle agree at raster borders
-                y0 = int(r.block_y) * meta.block_h - md
-                x0 = int(r.block_x) * meta.block_w - md
+                y0 = int(r.block_y) * meta.block_h - halo
+                x0 = int(r.block_x) * meta.block_w - halo
                 gys = np.arange(pad.shape[0]) + y0
                 gxs = np.arange(pad.shape[1]) + x0
                 outside = (
@@ -365,7 +420,16 @@ def fillnodata(
                     | ((gxs < 0) | (gxs >= meta.width))[None, :]
                 )
                 pad[outside] = nodata
-                out = fillnodata_np(pad, nodata, md)[md:-md, md:-md]
+                filled = fillnodata_np(pad, nodata, md_fill)
+                if si > 0:
+                    # the fill writes into outside-raster pad cells too;
+                    # those cells don't exist in the full-array oracle, so
+                    # they must not become smoothing contributors
+                    filled[outside] = nodata
+                    t_mask = filled != nodata
+                    f_mask = (pad == nodata) & t_mask
+                    filled = fill_smooth_np(filled, t_mask, f_mask, si)
+                out = filled[halo:-halo, halo:-halo]
                 rows.append((int(r.band), int(r.block_y), int(r.block_x),
                              int(r.h), int(r.w), out.tobytes()))
             yield pd.DataFrame(rows, columns=["band", "block_y", "block_x", "h", "w", "data"])

@@ -468,3 +468,104 @@ def viewshed(
         .groupBy("gby", "gbx")
         .applyInPandas(assemble, TILES_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# cumulative viewshed (alg/viewshed/cumulative.cpp)
+# ---------------------------------------------------------------------------
+
+def _observer_grid(W: int, H: int, spacing: int):
+    """Observer locations per Cumulative::run (cumulative.cpp:66-67):
+    x outer / y inner, multiples of observerSpacing from the origin."""
+    return [(x, y) for x in range(0, W, spacing) for y in range(0, H, spacing)]
+
+
+def viewshed_cumulative_np(
+    dem: np.ndarray, spacing: int, observer_height: float = 2.0,
+    target_height: float = 0.0, cell_mode: str = "edge",
+    max_dist: float | None = None, resx: float = 1.0, resy: float = 1.0,
+) -> np.ndarray:
+    """Single-node oracle: per-observer Normal viewsheds with
+    visibleVal=1 (cumulative.cpp:46-47), uint32 rollup
+    (Cumulative::rollupRasters), then scaleOutput's 8-bit spread
+    ``floor(255/max * v)`` (cumulative.cpp:199-211)."""
+    H, W = dem.shape
+    acc = np.zeros((H, W), dtype=np.uint32)
+    for (x, y) in _observer_grid(W, H, spacing):
+        acc += viewshed_np(
+            dem, x, y, observer_height, target_height, visible=1.0,
+            invisible=0.0, cell_mode=cell_mode, max_dist=max_dist,
+            out_of_range=0.0, resx=resx, resy=resy,
+        ).astype(np.uint32)
+    m = int(acc.max())
+    if m == 0:
+        return acc.astype(np.float64)
+    factor = 255 / float(m)
+    return np.floor(factor * acc.astype(np.float64))
+
+
+def viewshed_cumulative(
+    tiles: DataFrame, meta: RasterMeta, spacing: int,
+    observer_height: float = 2.0, target_height: float = 0.0,
+    cell_mode: str = "edge", band: int = 1, max_dist: float | None = None,
+) -> DataFrame:
+    """Distributed cumulative viewshed: one per-observer wavefront
+    viewshed per grid location (embarrassingly parallel across
+    observers — the reference runs one executor thread per observer,
+    cumulative.cpp:131-180), a groupBy(block) rollup sum, then the
+    scaleOutput 8-bit spread using one scalar max aggregate.
+
+    Scale shape: per-observer plans union (no cross-observer shuffle of
+    pixel data until the single block-key rollup); the max is one tiny
+    agg over per-block maxima; no pixel bytes reach the driver."""
+    acc = None
+    for (x, y) in _observer_grid(meta.width, meta.height, int(spacing)):
+        v = viewshed(
+            tiles, meta, x, y, observer_height, target_height,
+            visible=1.0, invisible=0.0, cell_mode=cell_mode, band=band,
+            max_dist=max_dist, out_of_range=0.0,
+        )
+        acc = v if acc is None else acc.unionByName(v)
+
+    def rollup(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        b, by, bx = int(key[0]), int(key[1]), int(key[2])
+        h, w = int(pdf.h.iloc[0]), int(pdf.w.iloc[0])
+        total = np.zeros((h, w), dtype=np.uint32)
+        for d in pdf["data"]:
+            total += np.frombuffer(d, dtype=np.float64).reshape(h, w).astype(np.uint32)
+        return pd.DataFrame(
+            [(b, by, bx, h, w, total.astype(np.float64).tobytes())],
+            columns=["band", "block_y", "block_x", "h", "w", "data"],
+        )
+
+    summed = (
+        acc.groupBy("band", "block_y", "block_x")
+        .applyInPandas(rollup, TILES_SCHEMA)
+        .localCheckpoint()  # two consumers below; avoid recomputing N viewsheds
+    )
+
+    @F.pandas_udf("double")
+    def blk_max(data: pd.Series) -> pd.Series:
+        return pd.Series([
+            float(np.frombuffer(d, dtype=np.float64).max()) if len(d) else 0.0
+            for d in data
+        ])
+
+    m = summed.select(F.max(blk_max(F.col("data"))).alias("m")).collect()[0]["m"]
+    m = int(m or 0)
+    if m == 0:
+        return summed
+    factor = 255 / float(m)
+
+    def scale(iterator):
+        for pdf in iterator:
+            rows = []
+            for r in pdf.itertuples():
+                arr = np.frombuffer(r.data, dtype=np.float64).reshape(r.h, r.w)
+                rows.append((int(r.band), int(r.block_y), int(r.block_x),
+                             int(r.h), int(r.w),
+                             np.floor(factor * arr).tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["band", "block_y", "block_x", "h", "w", "data"])
+
+    return summed.mapInPandas(scale, TILES_SCHEMA)

@@ -357,3 +357,67 @@ def test_footprint(spark):
     ch = footprint({"b1": t1, "b2": t2}, meta, geo=False,
                    convex_hull=True).collect()[0]
     assert (ch.n_polys, ch.n_rings) == (1, 1)
+
+
+def test_fillnodata_smoothing_iterations(spark):
+    """-si (GDALMultiFilter): distributed (max_distance+si halo) must be
+    bit-equal to the single-node oracle; smoothing touches ONLY the
+    filled pixels and leaves originally-valid ones at their (float32-
+    routed) values; masks stay fixed across iterations."""
+    import numpy as np
+
+    from gdal_spark.raster.analysis import (
+        fillnodata,
+        fillnodata_np,
+        fillnodata_smooth_np,
+    )
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array, tiles_to_array
+
+    rng = np.random.default_rng(3)
+    arr = np.round(rng.uniform(0, 100, (40, 56)), 1)
+    arr[rng.random((40, 56)) < 0.3] = -999.0
+    meta = RasterMeta(width=56, height=40, dtype="float64", block_w=16, block_h=16)
+    tiles = tiles_from_array(spark, arr, meta)
+    for si in (0, 1, 3):
+        got = tiles_to_array(
+            fillnodata(tiles, meta, -999.0, max_distance=4,
+                       smoothing_iterations=si),
+            meta,
+        )
+        exp = fillnodata_smooth_np(arr, -999.0, 4, si)
+        assert np.array_equal(got, exp), si
+    filled = fillnodata_np(arr, -999.0, 4)
+    sm = fillnodata_smooth_np(arr, -999.0, 4, 3)
+    valid = arr != -999.0
+    # originally-valid pixels are untouched up to the float32 routing
+    assert np.array_equal(sm[valid], filled[valid].astype(np.float32).astype(np.float64))
+    # smoothing changed at least some filled pixels
+    assert (sm[~valid] != filled[~valid]).any()
+
+
+def test_viewshed_cumulative(spark):
+    """Cumulative viewshed (alg/viewshed/cumulative.cpp): grid observers
+    x-outer/y-inner at observerSpacing, per-observer Normal viewsheds
+    with visibleVal=1, uint32 rollup, scaleOutput floor(255/max·v)."""
+    import numpy as np
+
+    from gdal_spark.raster.model import RasterMeta, tiles_from_array, tiles_to_array
+    from gdal_spark.raster.viewshed import viewshed_cumulative, viewshed_cumulative_np
+
+    rng = np.random.default_rng(7)
+    xx = np.arange(48)[None, :]
+    yy = np.arange(32)[:, None]
+    dem = (
+        rng.uniform(0, 8, (32, 48))
+        + 40 * np.exp(-(((xx - 30) / 5.0) ** 2 + ((yy - 12) / 4.0) ** 2))
+    ).astype(np.float32)
+    meta = RasterMeta(width=48, height=32, dtype="float32", block_w=16, block_h=16)
+    out_meta = RasterMeta(width=48, height=32, dtype="float64", block_w=16, block_h=16)
+    got = tiles_to_array(
+        viewshed_cumulative(tiles_from_array(spark, dem, meta), meta,
+                            spacing=16, observer_height=3.0),
+        out_meta,
+    )
+    exp = viewshed_cumulative_np(dem, 16, observer_height=3.0)
+    assert np.array_equal(got, exp)
+    assert exp.max() == 255.0  # the 8-bit spread engaged
