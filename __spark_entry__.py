@@ -2373,6 +2373,106 @@ def _oracle_gml_archsites() -> str:
 _lazy_oracle("gml_archsites_read", _oracle_gml_archsites)
 
 
+@_register("kml_samples_read")
+def q_kml_samples_read(spark, sf_dir):
+    """Reference-authored KML (autotest/ogr/data/kml/samples.kml, the
+    classic driver's canonical fixture): Folder/nested-Document layers,
+    fixed Name/description schema with per-line text trimming and
+    empty-string defaults, 2.5D geometries — values pinned to the
+    reference's own test expectations (ogr_kml.py:50-260: placemark
+    names/descriptions, the 22-vertex Building 40 polygon, the
+    documented Simple-placemark POINT)."""
+    from gdal_spark.functions.st import st_astext, st_npoints
+    from gdal_spark.sources.kml import read_kml
+
+    df = read_kml(spark, "/root/reference/autotest/ogr/data/kml/samples.kml")
+    keep = (
+        F.col("layer").isin("Placemarks", "Highlighted Icon", "Google Campus")
+        | ((F.col("layer") == "Paths")
+           & F.col("Name").isin("Tessellated", "Untessellated"))
+    )
+    g = F.col("geometry")
+    return (
+        df.filter(keep)
+        .select(
+            "layer", F.col("Name").alias("name"), "description",
+            st_npoints(g).cast("long").alias("npts"),
+            F.when(F.col("Name") == "Simple placemark", st_astext(g)).alias("wkt"),
+        )
+        .orderBy("layer", "name")
+    )
+
+
+def _oracle_kml_samples() -> str:
+    from gdal_spark.geometry import wkt as _wkt
+
+    # the documented Simple-placemark point (ogr_kml.py:191), through the
+    # same WKT formatter the engine registers
+    pt = _wkt.geom_to_wkt("Point", (-122.0822035425683, 37.42228990140251))
+    d1 = ("Attached to the ground. Intelligently places itself at the\n"
+          "height of the underlying terrain.")
+    d2 = "Floats a defined distance above the ground."
+    d3 = 'Tethered to the ground by a customizable\n"tail"'
+    dt = ("If the <tessellate> tag has a value of 1, the line will "
+          "contour to the underlying terrain")
+    du = ("If the <tessellate> tag has a value of 0, the line follow a "
+          "simple straight-line path from point to point")
+    rows = [
+        ("Google Campus", "Building 40", "", 22, None),
+        ("Google Campus", "Building 41", "", 19, None),
+        ("Google Campus", "Building 42", "", 24, None),
+        ("Google Campus", "Building 43", "", 25, None),
+        ("Highlighted Icon", "Roll over this icon", "", 1, None),
+        ("Paths", "Tessellated", dt, 2, None),
+        ("Paths", "Untessellated", du, 2, None),
+        ("Placemarks", "Extruded placemark", d3, 1, None),
+        ("Placemarks", "Floating placemark", d2, 1, None),
+        ("Placemarks", "Simple placemark", d1, 1, pt),
+    ]
+
+    def lit(s):
+        return "NULL" if s is None else "'" + str(s).replace("'", "''").replace(chr(10), "' || chr(10) || '") + "'"
+
+    vals = ", ".join(
+        f"({lit(a)}, {lit(b)}, {lit(c)}, CAST({n} AS BIGINT), "
+        f"CAST({lit(w)} AS VARCHAR))"
+        for a, b, c, n, w in rows
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) AS t(layer, name, description, npts, wkt) "
+        "ORDER BY layer, name"
+    )
+
+
+_lazy_oracle("kml_samples_read", _oracle_kml_samples)
+
+
+@_register("kml_poly_read")
+def q_kml_poly_read(spark, sf_dir):
+    """KML WRITE → READ roundtrip (sources/kml.py, ExtendedData field
+    encoding): the POLY layer reproduces the same goldens as the
+    shapefile/GPKG/FGB/GML readers."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.sources.gpkg import read_gpkg
+    from gdal_spark.sources.kml import read_kml, write_kml
+
+    src = read_gpkg(spark, "/root/reference/autotest/ogr/data/gpkg/poly_golden.gpkg")
+    path = _os.path.join(_tempfile.mkdtemp(prefix="kml_"), "poly.kml")
+    write_kml(src.drop("fid"), path, layer="poly")
+    df = read_kml(spark, path, keep_z=False)
+    return df.select(
+        F.col("EAS_ID").cast("long").alias("eas_id"),
+        "PRFEDEA",
+        F.floor(st_area(F.col("geometry")) + F.lit(0.5)).cast("long").alias("area_m"),
+    ).orderBy("eas_id")
+
+
+_lazy_oracle("kml_poly_read", _oracle_shapefile_poly)
+
+
 @_register("csv_geom_read")
 def q_csv_geom_read(spark, sf_dir):
     """CSV-with-geometry driver (ogr/ogrsf_frmts/csv/ WKT-column
