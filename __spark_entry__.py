@@ -3180,6 +3180,43 @@ def _oracle_png_checksums() -> str:
 _lazy_oracle("png_reference_checksums", _oracle_png_checksums)
 
 
+@_register("jpeg_reference_checksums")
+def q_jpeg_reference_checksums(spark, sf_dir):
+    """Hand-rolled baseline JPEG decoder (sources/jpeg.py — IJG islow
+    IDCT + fancy upsampling + fixed-point YCbCr, bit-exact with the
+    reference's vendored libjpeg 6b) vs the reference's OWN documented
+    checksums: albania.jpg band 2 = 17016 (autotest/gdrivers/jpeg.py:46,
+    the vendored-6b branch) and the Adobe CMYK fixture's RGB bands
+    20385/20865/19441 (jpeg.py:267-289, C·K/255 conversion per
+    jpgdataset.cpp:1487)."""
+    from gdal_spark.raster.checksum import checksum_np
+    from gdal_spark.sources.jpeg import decode_jpeg
+
+    base = "/root/reference/autotest/gdrivers/data/jpeg"
+    fixtures = [
+        (f"{base}/albania.jpg", 2),
+        (f"{base}/rgb_ntf_cmyk.jpg", 1),
+        (f"{base}/rgb_ntf_cmyk.jpg", 2),
+        (f"{base}/rgb_ntf_cmyk.jpg", 3),
+    ]
+    rows = []
+    cache = {}
+    for i, (path, band) in enumerate(fixtures):
+        if path not in cache:
+            cache[path] = decode_jpeg(open(path, "rb").read())[0]
+        rows.append((i, int(checksum_np(cache[path][band]))))
+    return spark.createDataFrame(rows, "fixture INT, checksum BIGINT").orderBy("fixture")
+
+
+def _oracle_jpeg_checksums() -> str:
+    vals = [17016, 20385, 20865, 19441]
+    rows = ", ".join(f"({i}, CAST({v} AS BIGINT))" for i, v in enumerate(vals))
+    return f"SELECT * FROM (VALUES {rows}) AS t(fixture, checksum) ORDER BY fixture"
+
+
+_lazy_oracle("jpeg_reference_checksums", _oracle_jpeg_checksums)
+
+
 @_register("raster_tile_pyramid_png_checksums")
 def q_raster_tile_pyramid_png_checksums(spark, sf_dir):
     """The tile pyramid with the reference CLI's DEFAULT output format —

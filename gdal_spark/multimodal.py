@@ -3,9 +3,11 @@
 Media are opaque ``BINARY`` payloads + a typed metadata struct; all
 processing is Arrow-batched ``mapInPandas`` with REAL Spark plumbing
 (schemas, partitioning, batch shapes) and a clearly-gated decode step.
-``decode="real"`` decodes PNG payloads IN-CONTAINER via the hand-rolled
-codec (sources/png.py); other formats (JPEG / libav media) still need
-PIL/codecs and raise ``NotImplementedError`` when absent. ``decode``
+``decode="real"`` decodes PNG and baseline JPEG payloads IN-CONTAINER
+via the hand-rolled codecs (sources/png.py, sources/jpeg.py — the JPEG
+path is bit-exact with the reference's vendored libjpeg 6b); other
+formats (libav media) still need codecs and raise
+``NotImplementedError`` when absent. ``decode``
 defaults to a deterministic fake (seeded from the payload bytes) for
 plumbing tests that want format-independent pixels. Swapping decoders
 changes ONE function — every schema, UDF signature, and shuffle stays
@@ -54,10 +56,11 @@ def fake_decode_image(data: bytes, width: int, height: int, channels: int) -> np
 
 
 def real_decode_image(data: bytes, *a) -> np.ndarray:
-    """Real decode. PNG payloads decode IN-CONTAINER via the hand-rolled
-    codec (sources/png.py — the same band model as the reference's PNG
-    driver); other formats need PIL. Shape matches PIL's np.asarray
-    convention: (H, W) for single-band, (H, W, C) otherwise."""
+    """Real decode. PNG and baseline JPEG payloads decode IN-CONTAINER
+    via the hand-rolled codecs (sources/png.py, sources/jpeg.py — the
+    same band model as the reference's drivers); other formats need PIL.
+    Shape matches PIL's np.asarray convention: (H, W) for single-band,
+    (H, W, C) otherwise."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         from gdal_spark.sources.png import decode_png
 
@@ -65,10 +68,17 @@ def real_decode_image(data: bytes, *a) -> np.ndarray:
         if len(bands) == 1:
             return bands[1]
         return np.stack([bands[b] for b in sorted(bands)], axis=-1)
+    if data[:2] == b"\xff\xd8":
+        from gdal_spark.sources.jpeg import decode_jpeg
+
+        bands, _ = decode_jpeg(bytes(data))
+        if len(bands) == 1:
+            return bands[1]
+        return np.stack([bands[b] for b in sorted(bands)], axis=-1)
     if not _HAVE_PIL:  # pragma: no cover - PIL absent in this container
         raise NotImplementedError(
-            "real decode of non-PNG images needs PIL, which is not "
-            "installed; PNG decodes natively (sources/png.py), or use the "
+            "real decode of non-PNG/JPEG images needs PIL, which is not "
+            "installed; PNG/JPEG decode natively (sources/{png,jpeg}.py), or use the "
             "deterministic fake (decode='fake') for plumbing tests"
         )
     import io  # pragma: no cover

@@ -1,0 +1,87 @@
+"""Baseline JPEG decoder (sources/jpeg.py) vs the reference's own
+documented fixture checksums (autotest/gdrivers/jpeg.py) — bit-exact
+with the vendored libjpeg 6b decode path."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.raster.checksum import checksum_np
+from gdal_spark.sources.jpeg import decode_jpeg, idct_islow_blocks, read_jpeg
+
+JP = "/root/reference/autotest/gdrivers/data/jpeg"
+
+
+@pytest.mark.parametrize(
+    "path,band,expected",
+    [
+        (f"{JP}/albania.jpg", 2, 17016),       # 4:2:0 YCbCr (jpeg.py:46)
+        (f"{JP}/rgb_ntf_cmyk.jpg", 1, 20385),  # Adobe CMYK → C·K/255
+        (f"{JP}/rgb_ntf_cmyk.jpg", 2, 20865),
+        (f"{JP}/rgb_ntf_cmyk.jpg", 3, 19441),
+    ],
+)
+def test_reference_fixture_checksums(path, band, expected):
+    bands, info = decode_jpeg(open(path, "rb").read())
+    assert checksum_np(bands[band]) == expected
+
+
+def test_decode_shapes_and_gray():
+    bands, info = decode_jpeg(open(f"{JP}/albania.jpg", "rb").read())
+    assert (info["width"], info["height"]) == (361, 260) and len(bands) == 3
+    bands, info = decode_jpeg(
+        open(f"{JP}/black_with_white_exif_ovr.jpg", "rb").read())
+    assert len(bands) == 1 and bands[1].shape == (1024, 1024)
+    # fixture is a black square with a white rectangle: bimodal values
+    assert set(np.unique(bands[1])) <= set(range(0, 8)) | set(range(248, 256))
+
+
+def test_out_of_scope_variants_raise():
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(open(f"{JP}/arcgis_geodataxform_gcp.jpg", "rb").read())
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(open(f"{JP}/12bit_rose_extract.jpg", "rb").read())
+    with pytest.raises(ValueError):
+        decode_jpeg(open(f"{JP}/bogus.jpg", "rb").read())
+
+
+def test_idct_islow_matches_float_dct():
+    """The fixed-point islow IDCT must track the exact float IDCT within
+    the IJG's documented ±1 LSB accuracy on random coefficient blocks."""
+    rng = np.random.default_rng(4)
+    coefs = rng.integers(-64, 65, (64, 8, 8)).astype(np.int32)
+    coefs[:, 4:, :] = 0  # keep magnitudes in-range like real data
+    quant = np.ones((8, 8), dtype=np.int64)
+    got = idct_islow_blocks(coefs, quant).astype(np.float64)
+    k = np.arange(8)
+    c = np.where(k == 0, 1 / np.sqrt(2.0), 1.0)
+    basis = c[:, None] * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2
+    ref = np.einsum("ux,nuv,vy->nxy", basis, coefs.astype(np.float64), basis)
+    ref = np.clip(np.round(ref + 128), 0, 255)
+    assert np.abs(got - ref).max() <= 1.0
+
+
+def test_read_jpeg_spark(spark):
+    from gdal_spark.raster.model import tiles_to_array
+
+    tiles, meta = read_jpeg(spark, f"{JP}/albania.jpg")
+    assert (meta.width, meta.height, meta.bands) == (361, 260, 3)
+    g = tiles_to_array(tiles, meta, band=2)
+    assert checksum_np(g) == 17016
+
+
+def test_multimodal_real_decode_jpeg(spark):
+    import pandas as pd
+
+    from gdal_spark.multimodal import image_features
+
+    data = open(f"{JP}/albania.jpg", "rb").read()
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(data), 361, 260, 3, 0, 1)],
+        "media_id LONG, kind STRING, data BINARY, width INT, height INT, "
+        "channels INT, sample_rate INT, n_frames INT",
+    )
+    r = image_features(media, decode="real").collect()[0]
+    bands, _ = decode_jpeg(data)
+    img = np.stack([bands[b] for b in (1, 2, 3)], axis=-1)
+    assert r.mean_e6 == int(np.floor(img.mean() * 1e6 + 0.5))
+    assert list(r.hist) == [int(x) for x in np.bincount(img.ravel() >> 5, minlength=8)]
