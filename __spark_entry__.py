@@ -668,6 +668,38 @@ def q_repetition_metrics(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_register(
+    "quality_filter_verdicts",
+    f"""
+    WITH tw AS (
+      SELECT doc_id, CAST(MAX(c) AS INT) AS top_word_n FROM (
+        SELECT doc_id, COUNT(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS word
+          FROM documents) AS words
+        GROUP BY doc_id, word) AS freq
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           {analysis.quality_filter_sql('d.text', 'tw.top_word_n')} AS reject_reason,
+           CAST({analysis.quality_filter_sql('d.text', 'tw.top_word_n')} IS NULL
+                AS BOOLEAN) AS keep
+    FROM documents d JOIN tw ON d.doc_id = tw.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_quality_filter_verdicts(spark, sf_dir):
+    """Composed Gopher-style quality FILTER (Rae et al. 2021 §A1.1):
+    keep/drop verdict + first-failing-rule reason per document, all
+    integerized thresholds over the existing map-only metric columns —
+    one JVM codegen pass, no shuffle. The oracle recomputes the same
+    CASE chain in DuckDB with the top-word numerator from the classic
+    unnest wordcount (a different plan shape for the same value)."""
+    d = _t(spark, sf_dir, "documents")
+    return analysis.quality_filter(d).select(
+        "doc_id", "reject_reason", "keep"
+    ).orderBy("doc_id")
+
+
 # -- 6. embedding similarity -------------------------------------------------
 
 @_register(

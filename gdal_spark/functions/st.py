@@ -102,13 +102,25 @@ def _pair_predicate_staged(fn, a: pd.Series, b: pd.Series, on_disjoint: bool,
         out[i] = on_disjoint
     need = np.nonzero(valid & ~disj)[0].tolist()
     if need:
+        # exact-test once per DISTINCT blob pair — spatial-SQL batches
+        # repeat the dim-side geometry across many rows, and fn is pure
+        pair_index: dict = {}
+        reps: list = []
+        for i in need:
+            key = (ba[i], bb[i])
+            if key not in pair_index:
+                pair_index[key] = len(reps)
+                reps.append(i)
         # rows whose envelope fallback already parsed skip the re-parse
         ga = wkb.parse_wkb_batch(
-            [None if pa[i] is not None else ba[i] for i in need])
+            [None if pa[i] is not None else ba[i] for i in reps])
         gb = wkb.parse_wkb_batch(
-            [None if pb[i] is not None else bb[i] for i in need])
-        for j, i in enumerate(need):
-            out[i] = fn(pa[i] or ga[j], pb[i] or gb[j])
+            [None if pb[i] is not None else bb[i] for i in reps])
+        results = [
+            fn(pa[i] or ga[j], pb[i] or gb[j]) for j, i in enumerate(reps)
+        ]
+        for i in need:
+            out[i] = results[pair_index[(ba[i], bb[i])]]
     return out, skipped
 
 

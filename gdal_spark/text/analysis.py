@@ -195,3 +195,95 @@ def fingerprint_sql(text_expr: str) -> str:
         f"w -> CAST(length(w) * 31 + ascii(substr(w, 1, 1)) AS BIGINT))), "
         f"(a, b) -> (a * {FP_MULT} + b) % {FP_MOD})"
     )
+
+
+# ---------------------------------------------------------------------------
+# composed quality filter (Gopher-style keep/drop verdict)
+# ---------------------------------------------------------------------------
+
+GOPHER_RULES = {
+    "min_words": 50, "max_words": 100_000,
+    "min_mean_token_len_e3": 3_000, "max_mean_token_len_e3": 10_000,
+    "min_stop_ratio_e6": 20_000,
+    "max_dup2_e6": 200_000, "max_dup3_e6": 180_000,
+    "max_top_word_e6": 80_000,
+    "max_punct_ratio_e6": 300_000,
+}
+
+# fixed evaluation order: reject_reason is the FIRST failing rule
+_RULE_ORDER = ("doc_length", "mean_word_length", "stopword_ratio",
+               "dup_2gram", "dup_3gram", "top_word", "punct_ratio")
+
+
+def quality_filter(df: DataFrame, text_col: str = "text", **overrides) -> DataFrame:
+    """Composed Gopher-style (Rae et al. 2021 §A1.1, public paper)
+    keep/drop verdict per document: adds ``keep BOOLEAN`` and
+    ``reject_reason STRING`` (the first failing rule in _RULE_ORDER;
+    NULL when kept). All thresholds are integerized (e3/e6 floors) so
+    the verdict is float-free; all inputs come from the existing
+    map-only metric columns — the whole filter is one JVM codegen pass,
+    no shuffle."""
+    rules = {**GOPHER_RULES, **overrides}
+    d = quality_metrics(df, text_col)
+    d = repetition_metrics(d, text_col)
+    n = F.col("n_words").cast("long")
+    dup2_e6 = F.floor(F.col("dup2") * F.lit(1_000_000)
+                      / F.greatest(n - 1, F.lit(1))).cast("long")
+    dup3_e6 = F.floor(F.col("dup3") * F.lit(1_000_000)
+                      / F.greatest(n - 2, F.lit(1))).cast("long")
+    top_e6 = F.floor(F.col("top_word_n") * F.lit(1_000_000) / n).cast("long")
+    punct_e6 = F.floor(F.col("n_punct") * F.lit(1_000_000) / n).cast("long")
+    checks = {
+        "doc_length": (n < rules["min_words"]) | (n > rules["max_words"]),
+        "mean_word_length": (F.col("mean_token_len_e3") < rules["min_mean_token_len_e3"])
+        | (F.col("mean_token_len_e3") > rules["max_mean_token_len_e3"]),
+        "stopword_ratio": F.col("stop_ratio_e6") < rules["min_stop_ratio_e6"],
+        "dup_2gram": dup2_e6 > rules["max_dup2_e6"],
+        "dup_3gram": dup3_e6 > rules["max_dup3_e6"],
+        "top_word": top_e6 > rules["max_top_word_e6"],
+        "punct_ratio": punct_e6 > rules["max_punct_ratio_e6"],
+    }
+    reason = F.lit(None).cast("string")
+    for name in reversed(_RULE_ORDER):
+        reason = F.when(checks[name], F.lit(name)).otherwise(reason)
+    return d.withColumn("reject_reason", reason).withColumn(
+        "keep", F.col("reject_reason").isNull()
+    )
+
+
+def quality_filter_sql(text_expr: str, top_word_expr: str, **overrides) -> str:
+    """DuckDB CASE expression producing the identical reject_reason
+    (``top_word_expr`` supplies the wordcount-derived top_word_n column
+    name — the oracle's independent unnest path)."""
+    rules = {**GOPHER_RULES, **overrides}
+    qm = quality_metrics_sql(text_expr)
+    rm = repetition_metrics_sql(text_expr)
+    n = rm["n_words"]
+    conds = {
+        "doc_length": f"({n} < {rules['min_words']} OR {n} > {rules['max_words']})",
+        "mean_word_length": (
+            f"({qm['mean_token_len_e3']} < {rules['min_mean_token_len_e3']} "
+            f"OR {qm['mean_token_len_e3']} > {rules['max_mean_token_len_e3']})"
+        ),
+        "stopword_ratio": f"{qm['stop_ratio_e6']} < {rules['min_stop_ratio_e6']}",
+        "dup_2gram": (
+            f"CAST(FLOOR({rm['dup2']} * 1000000.0 / GREATEST({n} - 1, 1)) AS BIGINT)"
+            f" > {rules['max_dup2_e6']}"
+        ),
+        "dup_3gram": (
+            f"CAST(FLOOR({rm['dup3']} * 1000000.0 / GREATEST({n} - 2, 1)) AS BIGINT)"
+            f" > {rules['max_dup3_e6']}"
+        ),
+        "top_word": (
+            f"CAST(FLOOR({top_word_expr} * 1000000.0 / {n}) AS BIGINT)"
+            f" > {rules['max_top_word_e6']}"
+        ),
+        "punct_ratio": (
+            f"CAST(FLOOR({qm['n_punct']} * 1000000.0 / {n}) AS BIGINT)"
+            f" > {rules['max_punct_ratio_e6']}"
+        ),
+    }
+    whens = " ".join(
+        f"WHEN {conds[name]} THEN '{name}'" for name in _RULE_ORDER
+    )
+    return f"CASE {whens} ELSE NULL END"

@@ -236,3 +236,38 @@ def test_repetition_metrics_edges(spark):
     assert got[3] == (5, 1, 0, 2)
     assert got[4] == (2, 0, 0, 1)
     assert got[5] == (4, 0, 0, 1)
+
+
+def test_quality_filter_rules_and_order(spark):
+    """Composed Gopher-style verdicts: first-failing-rule reporting in
+    the fixed order, integerized thresholds, keep on clean prose."""
+    from gdal_spark.text.analysis import quality_filter
+
+    # non-repetitive prose: unique content words interleaved with a
+    # cycling stopword set (unique bigrams, top word ≈ 7% < 8%)
+    stops = ["the", "and", "of", "to", "in", "is", "a"]
+    clean = " ".join(
+        f"{stops[i % 7]} township{i:03d}" for i in range(60)
+    )
+    docs = [
+        (0, clean),
+        (1, "too short"),                             # doc_length
+        (2, "a " * 300),                              # repeated word
+        (3, ("the big dog " * 100)),                  # dup 2/3-grams
+        (4, " ".join(f"x{'q' * 30}{i}" for i in range(60))),  # mean len
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert out[0].keep and out[0].reject_reason is None
+    assert out[1].reject_reason == "doc_length"
+    # doc 2: long enough? "a "*300 -> 300 words, mean len 1.0 -> fails
+    # mean_word_length BEFORE the dup/top rules (fixed order)
+    assert out[2].reject_reason == "mean_word_length"
+    assert out[3].reject_reason in ("stopword_ratio", "dup_2gram")
+    assert not out[4].keep
+    # threshold override: loosen everything -> doc 3 survives
+    from gdal_spark.text.analysis import GOPHER_RULES
+    loose = {k: (0 if k.startswith("min") else 10_000_000)
+             for k in GOPHER_RULES}
+    out2 = {r.doc_id: r for r in quality_filter(df, **loose).collect()}
+    assert all(out2[i].keep for i in range(5))
