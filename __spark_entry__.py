@@ -700,6 +700,99 @@ def q_quality_filter_verdicts(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_register(
+    "dedup_lines_ccnet",
+    """
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    ch AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, CAST((len(ws) + 7) // 8 AS INT) - 1),
+                            i -> array_to_string(ws[i*8+1:i*8+8], ' ')) AS ls
+      FROM w),
+    lines AS (
+      SELECT doc_id, i - 1 AS pos, ls[i] AS line
+      FROM ch, UNNEST(generate_series(1, len(ls))) AS t(i)),
+    rk AS (
+      SELECT doc_id, pos, line,
+             ROW_NUMBER() OVER (PARTITION BY trim(line) ORDER BY doc_id, pos) = 1
+               AS first_seen
+      FROM lines)
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN first_seen THEN line END, chr(10)
+                               ORDER BY pos), '') AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN first_seen THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM rk GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_dedup_lines_ccnet(spark, sf_dir):
+    """CCNet-style corpus-level line dedup (Wenzek et al. 2020 §3.1):
+    each line survives only at its first corpus-wide occurrence by
+    (doc_id, position); docs are re-assembled from surviving lines.
+    Documents are first re-chunked into 8-word pseudo-paragraphs (the
+    synthetic corpus is single-line) with identical chunking on both
+    engines. Reference parity: OGR has no text dedup — this is the
+    training-data-pipeline surface (SURVEY §2 LLM ops)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.floor((F.size(ws) + F.lit(7)) / F.lit(8)).cast("int")
+    line_arr = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+    )
+    chunked = d.select("doc_id", F.array_join(line_arr, "\n").alias("text"))
+    return dedup.line_dedup(chunked).select(
+        "doc_id", "text", "n_lines", "n_kept"
+    ).orderBy("doc_id")
+
+
+@_register(
+    "vocab_topk",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents),
+    tot AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word),
+    dfq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY word)
+    SELECT t.word, t.n, d.df FROM tot t JOIN dfq d USING (word)
+    ORDER BY t.n DESC, t.word LIMIT 100
+    """,
+)
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-k: total word count + document frequency,
+    deterministic (n desc, word) tie-break. Map-side partial combine on
+    both aggregates; top-k is TakeOrderedAndProject (no global sort)."""
+    return analysis.vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+@_register(
+    "decontaminate_benchmark",
+    """
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
+      FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)),
+    bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    hits AS (SELECT s.doc_id, COUNT(*) AS n_hits
+             FROM sh s JOIN bsh USING (shingle) GROUP BY s.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id
+    """,
+)
+def q_decontaminate_benchmark(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C n-gram overlap screen,
+    public paper): flag training docs sharing any 5-gram with the eval
+    set (here: every 97th doc). The eval side's distinct shingles are
+    BROADCAST — corpus side is map-only scan + broadcast hash join, no
+    corpus shuffle; the flag join back rides the 8-byte doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return dedup.contamination_flags(d, bench, n=5).orderBy("doc_id")
+
+
 # -- 6. embedding similarity -------------------------------------------------
 
 @_register(

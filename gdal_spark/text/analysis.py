@@ -287,3 +287,42 @@ def quality_filter_sql(text_expr: str, top_word_expr: str, **overrides) -> str:
         f"WHEN {conds[name]} THEN '{name}'" for name in _RULE_ORDER
     )
     return f"CASE {whens} ELSE NULL END"
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary statistics
+# ---------------------------------------------------------------------------
+
+def vocab_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent words with total
+    occurrence count and document frequency, ties broken by word so the
+    result is deterministic. Returns ``(word, n, df)``.
+
+    Scale shape: the total count is a classic word-count — explode +
+    hash aggregate with map-side partial combine, shuffle carries one
+    (word, count) row per word per partition. Document frequency
+    dedups (word, id) per PARTITION first (``distinct`` gets its own
+    partial dedup map-side), so repeated words inside a document never
+    shuffle twice. The top-k is Spark's TakeOrderedAndProject — no
+    global sort materialization.
+    """
+    w = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    )
+    totals = w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    docfreq = (
+        w.distinct().groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        totals.join(docfreq, "word")
+        .select("word", F.col("n").cast("long").alias("n"),
+                F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("n"), "word")
+        .limit(k)
+    )

@@ -435,3 +435,98 @@ def dedup_clusters(
             "raise max_rounds (components deeper than 2^rounds hops)"
         )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# corpus-level line dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style corpus-level line/paragraph dedup (Wenzek et al. 2020
+    §3.1, public paper): every line keeps only its FIRST occurrence
+    corpus-wide — ordered by (id, position) — and each document is
+    re-assembled from its surviving lines in original order.
+
+    Returns ``(id_col, text, n_lines, n_kept)`` where ``text`` is the
+    deduplicated document (may be ``''`` when every line was a later
+    copy) and ``n_lines``/``n_kept`` count lines before/after.
+
+    Scale shape: two shuffles — one on the trimmed line value (the
+    first-occurrence decision; Spark hash-partitions the string key, and
+    groups are small because group size == duplicate count), one on the
+    id for reassembly. Line text travels once each way; the heavy full
+    ``text`` column never shuffles.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    w = Window.partitionBy(F.trim(F.col("line"))).orderBy("id", "pos")
+    ranked = lines.withColumn("first_seen", F.row_number().over(w) == 1)
+    kept_struct = F.when(
+        F.col("first_seen"), F.struct(F.col("pos"), F.col("line"))
+    )  # collect_list drops the NULLs for dropped lines
+    return (
+        ranked.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+                ),
+                sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("first_seen").cast("long")).alias("n_kept"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM §C n-gram
+    overlap screen, public papers): flag every training document that
+    shares any word ``n``-gram with an evaluation/benchmark set.
+
+    Returns ``(id_col, n_hits, contaminated)`` for ALL docs (``n_hits``
+    counts the doc's DISTINCT shingles found in the benchmark — the
+    shingle stream is already distinct per doc; zero hits →
+    ``contaminated = false``).
+
+    Scale shape: the benchmark side is tiny by construction (eval sets
+    are thousands of docs, the corpus is billions) — its distinct
+    shingles are broadcast, so the corpus side is a map-only scan +
+    broadcast hash join with NO corpus shuffle; only the matched hits
+    (rare) reach the per-doc aggregation, and the final flag join back
+    to ``docs`` is on the 8-byte id.
+    """
+    bsh = shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    dsh = shingles(docs, id_col, text_col, n)
+    hits = (
+        dsh.join(F.broadcast(bsh), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

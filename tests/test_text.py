@@ -271,3 +271,65 @@ def test_quality_filter_rules_and_order(spark):
              for k in GOPHER_RULES}
     out2 = {r.doc_id: r for r in quality_filter(df, **loose).collect()}
     assert all(out2[i].keep for i in range(5))
+
+
+def test_line_dedup_first_occurrence(spark):
+    """CCNet line dedup: first corpus-wide occurrence by (doc_id, pos)
+    wins; docs reassemble in original order; fully-duplicate docs
+    collapse to ''."""
+    from gdal_spark.text.dedup import line_dedup
+
+    docs = [
+        (0, "alpha\nbeta\ngamma"),
+        (1, "beta\ndelta"),          # beta already seen in doc 0
+        (2, "alpha\nbeta"),          # both seen -> empty text
+        (3, "  alpha \nepsilon"),    # trim-normalized match, keeps raw line? no: dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert out[0].text == "alpha\nbeta\ngamma"
+    assert (out[0].n_lines, out[0].n_kept) == (3, 3)
+    assert out[1].text == "delta" and out[1].n_kept == 1
+    assert out[2].text == "" and out[2].n_kept == 0
+    # "  alpha " trims equal to doc 0's "alpha" -> dropped
+    assert out[3].text == "epsilon"
+    # same-line-twice-in-one-doc: second copy drops too
+    df2 = spark.createDataFrame([(9, "x\ny\nx")], "doc_id LONG, text STRING")
+    r = line_dedup(df2).collect()[0]
+    assert r.text == "x\ny" and r.n_lines == 3 and r.n_kept == 2
+
+
+def test_contamination_flags_broadcast(spark):
+    from gdal_spark.text.dedup import contamination_flags
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "a completely different sentence with no overlap at all"),
+            (2, "short doc"),  # < 5 words: no shingles, never flagged
+            (3, "prefix words then the quick brown fox jumps again"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over cliffs")], "doc_id LONG, text STRING"
+    )
+    out = contamination_flags(docs, bench, n=5)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[0].contaminated and got[0].n_hits == 1  # "quick brown fox jumps over"
+    assert not got[1].contaminated and got[1].n_hits == 0
+    assert not got[2].contaminated
+    assert not got[3].contaminated  # shares only a 4-gram, n=5 misses it
+    # the eval side must be broadcast (no corpus shuffle for the probe)
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_vocab_topk_tiebreak(spark):
+    from gdal_spark.text.analysis import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(0, "b a a"), (1, "b c c a")], "doc_id LONG, text STRING"
+    )
+    rows = vocab_topk(docs, k=2).collect()
+    # a:3(df2) b:2(df2) c:2(df1) -> top2 = a then b (tie 2/2 breaks by word)
+    assert [(r.word, r.n, r.df) for r in rows] == [("a", 3, 2), ("b", 2, 2)]
