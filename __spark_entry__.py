@@ -793,6 +793,38 @@ def q_decontaminate_benchmark(spark, sf_dir):
     return dedup.contamination_flags(d, bench, n=5).orderBy("doc_id")
 
 
+@_register(
+    "tfidf_top_terms",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+    dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+             CAST(tf.tf * ((nd.n_docs * 1000000) // dfq.df) AS BIGINT)
+               AS score_e6,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * ((nd.n_docs * 1000000) // dfq.df)
+                                  DESC, tf.word) AS rk
+      FROM tf JOIN dfq USING (word) CROSS JOIN nd)
+    SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score_e6
+    FROM scored WHERE rk <= 5 ORDER BY doc_id, rk
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-5 keywords by TF × integerized rarity (monotone map of
+    log-idf — same ranking, float-free so both engines agree exactly).
+    Three slim shuffles: (id, word) wordcount, per-word doc frequency
+    derived from it (no second text pass), per-doc top-k window."""
+    return analysis.tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), k=5
+    ).orderBy("doc_id", F.desc("score_e6"), "word")
+
+
 # -- 6. embedding similarity -------------------------------------------------
 
 @_register(

@@ -9,7 +9,7 @@ evaluate the same arithmetic (integer outputs — no float hash flakiness).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "a"],
@@ -325,4 +325,55 @@ def vocab_topk(
                 F.col("df").cast("long").alias("df"))
         .orderBy(F.desc("n"), "word")
         .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` keywords by TF × rarity. Rarity is the
+    integerized inverse document frequency ``floor(n_docs * 1e6 / df)``
+    (a monotonic transform of idf — same ranking, float-free so both
+    engines agree bit-for-bit; the classic log-idf differs only by a
+    monotone map). Returns ``(id_col, word, tf, df, score_e6)``, ties
+    broken by word.
+
+    Scale shape: three slim shuffles — (id, word) wordcount with
+    map-side combine, per-word document frequency (aggregate of the
+    first — no second pass over text), and the per-doc top-k window on
+    the 8-byte id. The corpus size joins in as a broadcast scalar; the
+    tf⋈df join shuffles only (word, counts) pairs.
+    """
+    w = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    )
+    tf = w.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            # integer div, not floor(double /): exact even when
+            # n_docs * 1e6 exceeds 2^53 (trillion-doc corpora)
+            "score_e6",
+            F.expr("tf * (CAST(n_docs AS BIGINT) * 1000000 div df)").cast("long"),
+        )
+    )
+    win = Window.partitionBy("id").orderBy(
+        F.desc("score_e6"), F.col("word")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("id").alias(id_col), "word",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score_e6",
+        )
     )

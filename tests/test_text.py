@@ -333,3 +333,28 @@ def test_vocab_topk_tiebreak(spark):
     rows = vocab_topk(docs, k=2).collect()
     # a:3(df2) b:2(df2) c:2(df1) -> top2 = a then b (tie 2/2 breaks by word)
     assert [(r.word, r.n, r.df) for r in rows] == [("a", 3, 2), ("b", 2, 2)]
+
+
+def test_tfidf_top_terms(spark):
+    from gdal_spark.text.analysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple banana common"),
+            (1, "banana cherry common"),
+            (2, "common common cherry"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.word, r.tf, r.df, r.score_e6))
+    # doc 0: apple tf2 df1 -> 2*3e6=6e6; banana tf1 df2 -> 1.5e6
+    assert by_doc[0][0] == ("apple", 2, 1, 6_000_000)
+    assert by_doc[0][1] == ("banana", 1, 2, 1_500_000)
+    # doc 1: banana/cherry tie at 1.5e6 -> word tie-break puts banana first
+    assert [w for w, *_ in by_doc[1]] == ["banana", "cherry"]
+    # doc 2: common tf2 df3 -> 2*1e6=2e6 beats cherry 1.5e6
+    assert by_doc[2][0][0] == "common"
+    assert all(len(v) == 2 for v in by_doc.values())
