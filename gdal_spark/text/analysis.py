@@ -303,26 +303,21 @@ def vocab_topk(
     occurrence count and document frequency, ties broken by word so the
     result is deterministic. Returns ``(word, n, df)``.
 
-    Scale shape: the total count is a classic word-count — explode +
-    hash aggregate with map-side partial combine, shuffle carries one
-    (word, count) row per word per partition. Document frequency
-    dedups (word, id) per PARTITION first (``distinct`` gets its own
-    partial dedup map-side), so repeated words inside a document never
-    shuffle twice. The top-k is Spark's TakeOrderedAndProject — no
-    global sort materialization.
+    Scale shape: ONE pass over the exploded text — a (word, id)
+    wordcount with map-side partial combine, then a second slim
+    aggregate on word produces both stats (n = sum of per-doc counts,
+    df = group size), no join and no second text scan. The top-k is
+    Spark's TakeOrderedAndProject — no global sort materialization.
     """
     w = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
     )
-    totals = w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-    docfreq = (
-        w.distinct().groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    )
+    per_doc = w.groupBy("word", "id").agg(F.count(F.lit(1)).alias("c"))
     return (
-        totals.join(docfreq, "word")
-        .select("word", F.col("n").cast("long").alias("n"),
-                F.col("df").cast("long").alias("df"))
+        per_doc.groupBy("word")
+        .agg(F.sum("c").cast("long").alias("n"),
+             F.count(F.lit(1)).cast("long").alias("df"))
         .orderBy(F.desc("n"), "word")
         .limit(k)
     )
@@ -351,7 +346,11 @@ def tfidf_top_terms(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
     )
-    tf = w.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # materialize the wordcount once: Catalyst has no cross-consumer
+    # subplan elimination, and tf feeds BOTH join sides — without this
+    # the explode + wordcount over the full text runs twice (verified:
+    # two identical Exchanges, zero ReusedExchange)
+    tf = w.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
     docfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
