@@ -3715,6 +3715,62 @@ def q_streaming_dedup_count(spark, sf_dir):
     return spark.sql(f"SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM {name}")
 
 
+@_register(
+    "streaming_quality_filter",
+    f"""
+    WITH tw AS (
+      SELECT doc_id, CAST(MAX(c) AS INT) AS top_word_n FROM (
+        SELECT doc_id, COUNT(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS word
+          FROM documents) AS words
+        GROUP BY doc_id, word) AS freq
+      GROUP BY doc_id),
+    v AS (
+      SELECT d.doc_id,
+             {{QF_CASE}} AS reject_reason
+      FROM documents d JOIN tw ON d.doc_id = tw.doc_id)
+    SELECT COALESCE(reject_reason, 'kept') AS reason,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM v GROUP BY 1 ORDER BY 1
+    """.replace("{QF_CASE}", analysis.quality_filter_sql("d.text", "tw.top_word_n")),
+)
+def q_streaming_quality_filter(spark, sf_dir):
+    """The Gopher quality filter on a LIVE stream: file-source stream
+    over documents.parquet → the same map-only verdict columns as the
+    batch gate (they compose with streaming unchanged — zero state) →
+    per-reason counts in a complete-mode memory sink drained via
+    availableNow. The 100 TB ingest story: filtering happens at scan
+    speed as documents arrive, only per-reason counters are stateful."""
+    import os as _os
+    import tempfile as _tempfile
+    import time as _time
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmpdir = _tempfile.mkdtemp(prefix="stream_qf_")
+    link = _os.path.join(tmpdir, "documents.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(_os.path.abspath(f"{sf_dir}/documents.parquet"), link)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir)
+    )
+    agg = (
+        analysis.quality_filter(stream)
+        .select(F.coalesce(F.col("reject_reason"), F.lit("kept")).alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    name = f"stream_qf_{int(_time.time() * 1000) % 10_000_000}"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT reason, n FROM {name} ORDER BY reason")
+
+
 @_register("viewshed_checksum")
 def q_viewshed_checksum(spark, sf_dir):
     """Viewshed (alg/viewshed/viewshed_executor.cpp, Wang 2000

@@ -131,6 +131,11 @@ def main():
         "ann_ivf_topk",
         "lang_id_counts",
         "doc_fingerprint",
+        "quality_filter_verdicts",
+        "dedup_lines_ccnet",
+        "decontaminate_benchmark",
+        "vocab_topk",
+        "tfidf_top_terms",
         "raster_checksum_synth",
         "raster_overview_checksum",
     ]
