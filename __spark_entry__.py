@@ -3771,6 +3771,70 @@ def q_streaming_quality_filter(spark, sf_dir):
     return spark.sql(f"SELECT reason, n FROM {name} ORDER BY reason")
 
 
+@_register(
+    "raster_tile_index",
+    """
+    WITH cat AS (
+      SELECT 'r' || id AS location,
+             64 + (id % 5) * 32 AS w, 48 + (id % 7) * 16 AS h,
+             CAST(id % 100 AS DOUBLE) AS gt0, 1.0e0 + (id % 3) AS gt1,
+             (id % 2) * 0.5e0 AS gt2, CAST(id % 50 AS DOUBLE) AS gt3,
+             (id % 2) * 0.25e0 AS gt4, -(1.0e0 + (id % 2)) AS gt5
+      FROM range(200) t(id)),
+    c AS (
+      SELECT location,
+             gt0 AS x00, gt3 AS y00,
+             gt0 + w * gt1 AS x10, gt3 + w * gt4 AS y10,
+             gt0 + w * gt1 + h * gt2 AS x11, gt3 + w * gt4 + h * gt5 AS y11,
+             gt0 + h * gt2 AS x01, gt3 + h * gt5 AS y01,
+             ABS(gt1 * gt5 - gt2 * gt4) * w * h AS area
+      FROM cat)
+    SELECT location,
+           CAST(FLOOR(LEAST(x00, x10, x11, x01) * 1000 + 0.5e0) AS BIGINT) AS xmin_e3,
+           CAST(FLOOR(LEAST(y00, y10, y11, y01) * 1000 + 0.5e0) AS BIGINT) AS ymin_e3,
+           CAST(FLOOR(GREATEST(x00, x10, x11, x01) * 1000 + 0.5e0) AS BIGINT) AS xmax_e3,
+           CAST(FLOOR(GREATEST(y00, y10, y11, y01) * 1000 + 0.5e0) AS BIGINT) AS ymax_e3,
+           CAST(FLOOR(area * 1000 + 0.5e0) AS BIGINT) AS area_e3
+    FROM c ORDER BY location
+    """,
+)
+def q_raster_tile_index(spark, sf_dir):
+    """gdaltindex (apps/gdaltindex_lib.cpp): extent polygon per raster in
+    a catalog, corners traced through the GeoTransform incl. rotation
+    terms. The oracle re-derives bbox + |det|·W·H analytically; the
+    Spark side's area goes through the REAL geometry path (packed WKB
+    ring → st_area shoelace) — dyadic gt values keep both exact.
+    Map-only over the catalog (one row per raster file)."""
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.raster.tindex import tile_index
+
+    idc = F.col("id")
+    cat = spark.range(200).select(
+        F.concat(F.lit("r"), idc.cast("string")).alias("location"),
+        (F.lit(64) + (idc % 5) * 32).cast("int").alias("width"),
+        (F.lit(48) + (idc % 7) * 16).cast("int").alias("height"),
+        (idc % 100).cast("double").alias("gt0"),
+        (F.lit(1.0) + (idc % 3)).alias("gt1"),
+        ((idc % 2) * F.lit(0.5)).alias("gt2"),
+        (idc % 50).cast("double").alias("gt3"),
+        ((idc % 2) * F.lit(0.25)).alias("gt4"),
+        (-(F.lit(1.0) + (idc % 2))).alias("gt5"),
+    )
+    out = tile_index(cat)
+
+    def e3(c):
+        return F.floor(c * 1000 + F.lit(0.5)).cast("long")
+
+    return out.select(
+        "location",
+        e3(F.col("xmin")).alias("xmin_e3"),
+        e3(F.col("ymin")).alias("ymin_e3"),
+        e3(F.col("xmax")).alias("xmax_e3"),
+        e3(F.col("ymax")).alias("ymax_e3"),
+        e3(st_area("geometry")).alias("area_e3"),
+    ).orderBy("location")
+
+
 @_register("viewshed_checksum")
 def q_viewshed_checksum(spark, sf_dir):
     """Viewshed (alg/viewshed/viewshed_executor.cpp, Wang 2000

@@ -515,3 +515,25 @@ def test_mosaic_later_wins_and_nodata(spark):
     # order flip changes the overlap (later wins)
     want_flip = mosaic_np([(b, mb), (a, ma)], dmeta, src_nodata=-9.0, init=-1.0)
     assert not np.array_equal(want, want_flip)
+
+
+def test_tile_index_rotated(spark):
+    """gdaltindex corner walk: rotated GeoTransform, ring parses back to
+    the exact corners, bbox covers all four."""
+    from gdal_spark.geometry import wkb as W
+    from gdal_spark.raster.tindex import tile_index
+
+    cat = spark.createDataFrame(
+        [("a.tif", 100, 50, 10.0, 2.0, 0.5, 20.0, 0.25, -1.0)],
+        "location STRING, width INT, height INT, gt0 DOUBLE, gt1 DOUBLE,"
+        " gt2 DOUBLE, gt3 DOUBLE, gt4 DOUBLE, gt5 DOUBLE",
+    )
+    r = tile_index(cat).collect()[0]
+    kind, rings = W.parse_wkb(bytes(r.geometry))
+    assert kind == "Polygon" and len(rings) == 1
+    ring = [tuple(p) for p in rings[0]]
+    # (0,0) (W,0) (W,H) (0,H) closed
+    assert ring == [
+        (10.0, 20.0), (210.0, 45.0), (235.0, -5.0), (35.0, -30.0), (10.0, 20.0)
+    ]
+    assert (r.xmin, r.ymin, r.xmax, r.ymax) == (10.0, -30.0, 235.0, 45.0)
