@@ -17,8 +17,10 @@
   approximation of the same metric; ours is the exact form.)
 - **fillnodata** (alg/rasterfill.cpp:394): nodata pixels filled by
   inverse-distance weighting of the first valid pixel hit in each of the
-  8 compass directions within max_distance — the reference's
-  smoothing-free contract; vectorized as 8 directional shift scans.
+  8 compass directions within max_distance, vectorized as 8 directional
+  shift scans; -si smoothing iterations (GDALMultiFilter float32 3×3
+  passes over filled pixels, alg/rasterfill.cpp:126,358) fold into the
+  same padded-block pass at halo depth max_distance + iterations.
 """
 
 from __future__ import annotations
