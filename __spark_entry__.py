@@ -794,6 +794,91 @@ def q_decontaminate_benchmark(spark, sf_dir):
 
 
 @_register(
+    "corpus_curation_pipeline",
+    """
+    WITH w0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    ch AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               generate_series(0, CAST((len(ws) + 7) // 8 AS INT) - 1),
+               i -> array_to_string(ws[i*8+1:i*8+8], ' ')), chr(10)) AS text
+      FROM w0),
+    tw AS (
+      SELECT doc_id, CAST(MAX(c) AS INT) AS top_word_n FROM (
+        SELECT doc_id, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+          FROM ch) AS words
+        GROUP BY doc_id, word) AS freq
+      GROUP BY doc_id),
+    kept AS (
+      SELECT ch.doc_id, ch.text FROM ch JOIN tw ON ch.doc_id = tw.doc_id
+      WHERE {QF_CASE} IS NULL),
+    lines AS (
+      SELECT doc_id, i - 1 AS pos, ls[i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM kept) t,
+           UNNEST(generate_series(1, len(ls))) AS u(i)),
+    rk AS (
+      SELECT doc_id, pos, line,
+             ROW_NUMBER() OVER (PARTITION BY trim(line) ORDER BY doc_id, pos) = 1
+               AS first_seen
+      FROM lines),
+    dd AS (
+      SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN first_seen THEN line END, chr(10)
+                                 ORDER BY pos), '') AS text,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN first_seen THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM rk GROUP BY doc_id),
+    uniq AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+             arg_min(n_lines, doc_id) AS n_lines,
+             arg_min(n_kept, doc_id) AS n_kept, text
+      FROM dd WHERE n_kept > 0 GROUP BY text)
+    SELECT doc_id, n_lines, n_kept, {FP} AS fp
+    FROM uniq ORDER BY doc_id
+    """.replace(
+        "{QF_CASE}", analysis.quality_filter_sql("ch.text", "tw.top_word_n")
+    ).replace("{FP}", analysis.fingerprint_sql("text")),
+)
+def q_corpus_curation_pipeline(spark, sf_dir):
+    """The END-TO-END web-text curation flow as ONE composed Spark plan:
+    Gopher quality filter (map-only verdicts) → CCNet corpus-level line
+    dedup (first occurrence wins) → drop emptied docs → exact dedup of
+    the surviving texts (min-id representative) → content fingerprint.
+    Every stage is the same operator its standalone gate verifies — this
+    gate proves they COMPOSE, oracle included (the DuckDB side re-derives
+    the full chain). Scale: the only shuffles are the line-value window,
+    the id reassembly, and the final text-hash group — the 100 TB corpus
+    never materializes between stages."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.floor((F.size(ws) + F.lit(7)) / F.lit(8)).cast("int")
+    line_arr = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+    )
+    chunked = d.select("doc_id", F.array_join(line_arr, "\n").alias("text"))
+    kept = analysis.quality_filter(chunked).filter("keep").select("doc_id", "text")
+    ld = dedup.line_dedup(kept)
+    uniq = (
+        ld.filter(F.col("n_kept") > 0)
+        .groupBy("text")
+        .agg(F.min(F.struct("doc_id", "n_lines", "n_kept")).alias("m"))
+        .select(
+            F.col("m.doc_id").alias("doc_id"),
+            F.col("m.n_lines").alias("n_lines"),
+            F.col("m.n_kept").alias("n_kept"),
+            "text",
+        )
+    )
+    return (
+        analysis.fingerprint(uniq)
+        .select("doc_id", "n_lines", "n_kept", "fp")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
     "tfidf_top_terms",
     """
     WITH w AS (
