@@ -358,3 +358,33 @@ def test_tfidf_top_terms(spark):
     # doc 2: common tf2 df3 -> 2*1e6=2e6 beats cherry 1.5e6
     assert by_doc[2][0][0] == "common"
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_line_dedup_randomized_vs_python_reference(spark):
+    """200 seeded docs drawn from a small line alphabet (heavy cross-doc
+    duplication) vs an independent dict-based first-occurrence pass."""
+    import random
+
+    from gdal_spark.text.dedup import line_dedup
+
+    rng = random.Random(42)
+    alphabet = [f"line {i} payload {i*i}" for i in range(40)]
+    docs = [
+        (i, "\n".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12))))
+        for i in range(200)
+    ]
+    seen = set()
+    expect = {}
+    for i, text in docs:  # docs are id-ordered; positions are in-order
+        kept = []
+        lines = text.split("\n")
+        for ln in lines:
+            key = ln.strip()
+            if key not in seen:
+                seen.add(key)
+                kept.append(ln)
+        expect[i] = ("\n".join(kept), len(lines), len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.text, r.n_lines, r.n_kept) for r in line_dedup(df).collect()}
+    assert got == expect
