@@ -3506,6 +3506,50 @@ def q_multimodal_png_real_decode(spark, sf_dir):
     return feats.select("media_id", "mean_e6", "std_e6", *hist_cols).orderBy("media_id")
 
 
+@_register("multimodal_jpeg_encode_roundtrip")
+def q_multimodal_jpeg_encode_roundtrip(spark, sf_dir):
+    """JPEG WRITE path end-to-end IN-CONTAINER: executor-side
+    block-constant grayscale pixels → encode_jpeg (quality 100, all-1
+    quantization: DC-only blocks quantize losslessly) → Arrow batch →
+    decode_jpeg → per-image stats. The oracle regenerates the pixels
+    from the seeds WITHOUT the codec, so any defect in the encoder's
+    headers/Huffman/zigzag/FDCT or the decoder breaks the hash."""
+    from gdal_spark.multimodal import image_features, synth_jpeg_media
+
+    media = synth_jpeg_media(spark, 48)
+    feats = image_features(media, decode="real")
+    hist_cols = [F.col("hist")[i].alias(f"h{i}") for i in range(8)]
+    return feats.select("media_id", "mean_e6", "std_e6", *hist_cols).orderBy("media_id")
+
+
+def _oracle_jpeg_encode_roundtrip() -> str:
+    rows = []
+    for mid in range(48):
+        rng = np.random.default_rng(mid + 1)
+        bw = 2 + mid % 5
+        bh = 2 + (mid * 3) % 4
+        vals = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+        img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        hist = np.bincount(img.ravel() >> 5, minlength=8)
+        rows.append(
+            f"({mid}, {int(np.floor(img.mean() * 1e6 + 0.5))}, "
+            f"{int(np.floor(img.std() * 1e6 + 0.5))}, "
+            + ", ".join(str(int(x)) for x in hist)
+            + ")"
+        )
+    hcols = ", ".join(f"CAST(h{i} AS BIGINT) AS h{i}" for i in range(8))
+    hnames = ", ".join(f"h{i}" for i in range(8))
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(mean_e6 AS BIGINT) AS mean_e6, "
+        f"CAST(std_e6 AS BIGINT) AS std_e6, {hcols} FROM (VALUES "
+        + ", ".join(rows)
+        + f") t(media_id, mean_e6, std_e6, {hnames}) ORDER BY media_id"
+    )
+
+
+_lazy_oracle("multimodal_jpeg_encode_roundtrip", _oracle_jpeg_encode_roundtrip)
+
+
 def _oracle_png_real_decode() -> str:
     rows = []
     for mid in range(48):

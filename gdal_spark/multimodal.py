@@ -141,6 +141,37 @@ def synth_png_media(spark: SparkSession, n: int) -> DataFrame:
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synth_jpeg_media(spark: SparkSession, n: int) -> DataFrame:
+    """Media table whose payloads are REAL baseline JPEG bytes, built so
+    the roundtrip is EXACT despite JPEG being lossy: block-constant
+    grayscale pixels (each 8×8 tile one value — only DC coefficients,
+    which are multiples of 8 pre-quantization) encoded at quality 100
+    (all-1 quantization tables). Any defect anywhere in the encoder or
+    decoder chain (headers, Huffman, zigzag, FDCT/IDCT) breaks the
+    codec-free oracle's hash."""
+    from gdal_spark.sources.jpeg import encode_jpeg
+
+    def gen(iterator):
+        for pdf in iterator:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                rng = np.random.default_rng(mid + 1)
+                bw = 2 + mid % 5
+                bh = 2 + (mid * 3) % 4
+                vals = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+                img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                data = encode_jpeg(img, quality=100)
+                rows.append((mid, "image", data, bw * 8, bh * 8, 1, 0, 1))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "data", "width", "height",
+                         "channels", "sample_rate", "n_frames"],
+            )
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def image_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     """Per-image features: (media_id, mean_e6, std_e6, hist ARRAY<LONG>).
 

@@ -15,10 +15,11 @@ Spark shape per zoom level:
    same shape the reference streams through its tiling loop
    single-threaded.
 
-Output tiles are GeoTIFF by default or PNG (``tile_format="png"`` —
+Output tiles are GeoTIFF by default, PNG (``tile_format="png"`` —
 the reference CLI's default output; the hand-rolled codec in
 sources/png.py), a pixel-identical re-encoding of the same sampled
-values.
+values, or JPEG (``tile_format="jpg"``, quality 90 — the reference
+CLI's web-imagery option; lossy, sources/jpeg.py encoder).
 """
 
 from __future__ import annotations
@@ -84,20 +85,23 @@ def raster_tile_pyramid(
     tile_format: str = "tif",
 ) -> DataFrame:
     """Write the ``{out_dir}/{z}/{x}/{y}.{tile_format}`` tree for each
-    zoom in ``zooms`` (``tif`` or ``png`` — PNG is the reference CLI's
+    zoom in ``zooms`` (``tif``, ``png`` or ``jpg`` — PNG is the reference CLI's
     default; uint8/uint16 only). Returns the written-tile summary
     (z, x, y, path) — one DataFrame unioned over levels; each level is an
     independent distributed warp whose blocks land directly in tile
     files."""
     from gdal_spark.sources.geotiff import encode_geotiff
+    from gdal_spark.sources.jpeg import encode_jpeg
     from gdal_spark.sources.png import encode_png
 
-    if tile_format not in ("tif", "png"):
-        raise ValueError(f"tile_format must be tif or png, got {tile_format}")
+    if tile_format not in ("tif", "png", "jpg"):
+        raise ValueError(f"tile_format must be tif, png or jpg, got {tile_format}")
     if tile_format == "png" and np.dtype(src_meta.dtype) not in (
         np.dtype(np.uint8), np.dtype(np.uint16)
     ):
         raise ValueError("png tiles support uint8/uint16 bands only")
+    if tile_format == "jpg" and np.dtype(src_meta.dtype) != np.dtype(np.uint8):
+        raise ValueError("jpg tiles support uint8 bands only")
 
     out = None
     for zoom in zooms:
@@ -138,6 +142,8 @@ def raster_tile_pyramid(
                     with open(path, "wb") as f:
                         if tile_format == "png":
                             f.write(encode_png({int(b): arr}))
+                        elif tile_format == "jpg":
+                            f.write(encode_jpeg(arr, quality=90))
                         else:
                             f.write(encode_geotiff({int(b): arr}, tmeta, compress))
                     rows.append((zoom, tx, ty, path))

@@ -1,7 +1,9 @@
-"""Baseline JPEG decoder (the capability surface of the reference's PNG
-sibling ``frmts/jpeg/jpgdataset.cpp`` + its vendored IJG libjpeg 6b) —
+"""Baseline JPEG codec (the capability surface of the reference's
+``frmts/jpeg/jpgdataset.cpp`` + its vendored IJG libjpeg 6b) —
 hand-rolled from the public JPEG standard (ITU-T T.81) and the published
-IJG algorithms:
+IJG algorithms. Decoder first (bit-exact with the vendored 6b), then an
+encoder (``encode_jpeg``: Annex K tables + jcparam quality scaling,
+islow integer FDCT, 4:4:4 / 4:2:0) covering the reference's write path:
 
 - entropy decode: baseline sequential Huffman (DC diff + AC run-length,
   byte unstuffing, restart markers);
@@ -511,3 +513,360 @@ def _postprocess(frame):
             info,
         )
     raise NotImplementedError(f"{len(comps)}-component JPEG")
+
+
+# --------------------------------------------------------------------------
+# encoder (baseline sequential, ITU-T T.81 Annex K tables — the write path
+# the reference gets from libjpeg's jcmaster/jfdctint/jchuff; decoded by
+# the decoder above and by any standard JPEG reader)
+# --------------------------------------------------------------------------
+
+# Annex K.1/K.2 base quantization tables (natural raster order)
+_STD_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_STD_CHROMA_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 standard Huffman tables: (16 BITS counts, HUFFVAL)
+_DC_LUMA_HUFF = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                 bytes(range(12)))
+_DC_CHROMA_HUFF = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                   bytes(range(12)))
+_AC_LUMA_HUFF = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+)
+_AC_CHROMA_HUFF = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    bytes([
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+)
+
+
+def _quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """jcparam.c quality scaling: linear in (5000/q | 200−2q)/100,
+    clamped to the baseline 1..255 range."""
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    out = []
+    for base in (_STD_LUMA_Q, _STD_CHROMA_Q):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _enc_codes(counts: list[int], values: bytes) -> dict:
+    """value → (code, length), canonical ascending per T.81 C.1-C.3
+    (the encoder-direction mirror of _build_huff)."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def fdct_islow_blocks(pixels: np.ndarray) -> np.ndarray:
+    """Published IJG ``jpeg_fdct_islow`` (jfdctint.c algorithm), vectorized
+    over all blocks: (N, 8, 8) uint8 samples → (N, 8, 8) int64 DCT
+    coefficients scaled by 8 (the encoder's quantizer divides by qval<<3)."""
+    d = pixels.astype(np.int64) - 128
+
+    def butterfly(m, first_pass: bool):
+        # m: (..., 8) along the transformed axis
+        t0 = m[..., 0] + m[..., 7]; t7 = m[..., 0] - m[..., 7]
+        t1 = m[..., 1] + m[..., 6]; t6 = m[..., 1] - m[..., 6]
+        t2 = m[..., 2] + m[..., 5]; t5 = m[..., 2] - m[..., 5]
+        t3 = m[..., 3] + m[..., 4]; t4 = m[..., 3] - m[..., 4]
+        t10 = t0 + t3; t13 = t0 - t3
+        t11 = t1 + t2; t12 = t1 - t2
+        out = np.empty_like(m)
+        if first_pass:
+            out[..., 0] = (t10 + t11) << PASS1_BITS
+            out[..., 4] = (t10 - t11) << PASS1_BITS
+            ds = CONST_BITS - PASS1_BITS
+        else:
+            out[..., 0] = _descale(t10 + t11, PASS1_BITS)
+            out[..., 4] = _descale(t10 - t11, PASS1_BITS)
+            ds = CONST_BITS + PASS1_BITS
+        z1 = (t12 + t13) * _C["0_541196100"]
+        out[..., 2] = _descale(z1 + t13 * _C["0_765366865"], ds)
+        out[..., 6] = _descale(z1 - t12 * _C["1_847759065"], ds)
+        z1 = t4 + t7; z2 = t5 + t6; z3 = t4 + t6; z4 = t5 + t7
+        z5 = (z3 + z4) * _C["1_175875602"]
+        t4 = t4 * _C["0_298631336"]; t5 = t5 * _C["2_053119869"]
+        t6 = t6 * _C["3_072711026"]; t7 = t7 * _C["1_501321110"]
+        z1 = -z1 * _C["0_899976223"]; z2 = -z2 * _C["2_562915447"]
+        z3 = -z3 * _C["1_961570560"] + z5; z4 = -z4 * _C["0_390180644"] + z5
+        out[..., 7] = _descale(t4 + z1 + z3, ds)
+        out[..., 5] = _descale(t5 + z2 + z4, ds)
+        out[..., 3] = _descale(t6 + z2 + z3, ds)
+        out[..., 1] = _descale(t7 + z1 + z4, ds)
+        return out
+
+    rows = butterfly(d, True)                       # pass 1: each row
+    cols = butterfly(rows.transpose(0, 2, 1), False)  # pass 2: each column
+    return cols.transpose(0, 2, 1)
+
+
+def _quantize_zz(coefs: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+    """(N, 8, 8) ×8-scaled coefficients → (N, 64) zigzag-ordered quantized
+    ints (jcdctmgr rounding: half-away-from-zero against qval<<3)."""
+    q8 = (qtbl << 3).reshape(8, 8)
+    a = coefs
+    q = np.sign(a) * ((np.abs(a) + (q8 >> 1)) // q8)
+    return q.reshape(-1, 64)[:, _ZIGZAG]
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:       # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        # pad the final partial byte with 1 bits (T.81 F.1.2.3)
+        while self.nbits:
+            self.put(1, 1)
+
+
+def _nbits(v: int) -> int:
+    return int(v).bit_length()
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    dc = int(zz[0])
+    diff = dc - pred
+    t = _nbits(abs(diff))
+    bw.put(*dc_codes[t])
+    if t:
+        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s = _nbits(abs(v))
+        bw.put(*ac_codes[(run << 4) | s])
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        bw.put(*ac_codes[0x00])      # EOB
+    return dc
+
+
+def _rgb_to_ycc(rgb: np.ndarray) -> np.ndarray:
+    """jccolor.c fixed-point forward transform (SCALEBITS=16; the −1 in
+    the Cb/Cr offset is libjpeg's exact-half tiebreak toward Y)."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    half = 1 << 15
+    off = (128 << 16) + half - 1
+    y = (19595 * r + 38470 * g + 7471 * b + half) >> 16
+    cb = (-11059 * r - 21709 * g + 32768 * b + off) >> 16
+    cr = (32768 * r - 27439 * g - 5329 * b + off) >> 16
+    return np.stack([y, cb, cr], axis=-1).astype(np.uint8)
+
+
+def _pad_to(plane: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Edge-replicate pad to exactly (th, tw) — each component pads to
+    its MCU coverage (mcuy·8·vf × mcux·8·hf), not just to 8 (a 4:2:0
+    luma plane must reach 16-multiples so every MCU has 4 blocks)."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, th - h), (0, tw - w)), mode="edge")
+
+
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) → (by*bx, 8, 8) raster block order (H, W multiples of 8)."""
+    h, w = plane.shape
+    return (plane.reshape(h // 8, 8, w // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 75,
+                subsampling: str = "444") -> bytes:
+    """Encode a (H, W) grayscale or (H, W, 3) RGB uint8 array as a
+    baseline sequential JFIF JPEG: Annex K quantization (jcparam.c
+    quality scaling) + standard Huffman tables, islow integer FDCT.
+    ``subsampling``: '444' (no chroma subsampling) or '420' (2×2 chroma
+    average, libjpeg h2v2 box mean).
+
+    Scale note: like the decoder, one JPEG is one entropy stream — the
+    distributed use is per-blob encode inside Arrow batches (tile sinks,
+    multimodal re-encode)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encode_jpeg wants (H,W) gray or (H,W,3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("image dimensions out of JPEG range")
+    ql, qc = _quant_tables(quality)
+
+    if gray:
+        raw = [arr]
+        samp = [(1, 1)]
+    else:
+        ycc = _rgb_to_ycc(arr)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsampling == "420":
+
+            def down(p):
+                p = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                q = p.astype(np.int64)
+                # h2v2 box mean with the libjpeg bias alternation folded
+                # to round-half-up (deterministic, not bit-pinned)
+                return (((q[0::2, 0::2] + q[0::2, 1::2]
+                          + q[1::2, 0::2] + q[1::2, 1::2]) + 2) >> 2
+                        ).astype(np.uint8)
+
+            raw = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raw = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+
+    hmax_ = max(s[0] for s in samp)
+    vmax_ = max(s[1] for s in samp)
+    nmx = (w + 8 * hmax_ - 1) // (8 * hmax_)
+    nmy = (h + 8 * vmax_ - 1) // (8 * vmax_)
+    planes = [
+        _pad_to(p, nmy * 8 * vf, nmx * 8 * hf)
+        for p, (hf, vf) in zip(raw, samp)
+    ]
+
+    # per-component quantized zigzag blocks in raster order
+    qtbls = [ql] + [qc] * (len(planes) - 1)
+    comp_zz = [
+        _quantize_zz(fdct_islow_blocks(_plane_blocks(p)), q)
+        for p, q in zip(planes, qtbls)
+    ]
+    comp_bw = [p.shape[1] // 8 for p in planes]  # blocks per row
+
+    # ---- headers -----------------------------------------------------
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(ql[_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, b"\x01" + bytes(qc[_ZIGZAG].astype(np.uint8)))
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hf, vf = samp[ci]
+        sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    huffs = [(0x00, _DC_LUMA_HUFF), (0x10, _AC_LUMA_HUFF)]
+    if not gray:
+        huffs += [(0x01, _DC_CHROMA_HUFF), (0x11, _AC_CHROMA_HUFF)]
+    for tc_th, (counts, values) in huffs:
+        out += seg(0xC4, bytes([tc_th]) + bytes(counts) + values)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+
+    # ---- interleaved entropy scan -------------------------------------
+    dc_l = _enc_codes(*_DC_LUMA_HUFF)
+    ac_l = _enc_codes(*_AC_LUMA_HUFF)
+    dc_c = _enc_codes(*_DC_CHROMA_HUFF)
+    ac_c = _enc_codes(*_AC_CHROMA_HUFF)
+    codes = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (ncomp - 1)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    bw_ = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                hf, vf = samp[ci]
+                for by in range(vf):
+                    for bx in range(hf):
+                        row = my * vf + by
+                        col = mx * hf + bx
+                        zz = comp_zz[ci][row * comp_bw[ci] + col]
+                        preds[ci] = _encode_block(
+                            bw_, zz, preds[ci], *codes[ci])
+    bw_.flush()
+    out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -85,3 +85,92 @@ def test_multimodal_real_decode_jpeg(spark):
     img = np.stack([bands[b] for b in (1, 2, 3)], axis=-1)
     assert r.mean_e6 == int(np.floor(img.mean() * 1e6 + 0.5))
     assert list(r.hist) == [int(x) for x in np.bincount(img.ravel() >> 5, minlength=8)]
+
+
+# --------------------------------------------------------------------------
+# encoder (write path)
+# --------------------------------------------------------------------------
+
+def test_encode_blockconstant_gray_q100_exact():
+    """Block-constant gray at quality 100 (all-1 tables): DC-only blocks
+    quantize losslessly -> bit-exact roundtrip through the encoder and
+    the libjpeg-bit-exact decoder."""
+    from gdal_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 256, (6, 5), dtype=np.uint8)
+    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    bands, info = decode_jpeg(encode_jpeg(img, quality=100))
+    assert (info["width"], info["height"], info["n_components"]) == (40, 48, 1)
+    assert np.array_equal(bands[1], img)
+
+
+def test_encode_roundtrip_bounds_and_modes():
+    from gdal_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:41, 0:55]
+    img = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, ((xx + yy) * 2) % 256], -1
+    ).astype(np.uint8)
+    for sub, bound in (("444", 4), ("420", 6)):
+        bands, info = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub))
+        assert (info["width"], info["height"]) == (55, 41)  # odd dims survive
+        dec = np.stack([bands[1], bands[2], bands[3]], -1).astype(int)
+        assert np.abs(dec - img.astype(int)).max() <= bound, sub
+
+    # quality monotonicity on noise
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    errs = []
+    for q in (50, 75, 95):
+        b, _ = decode_jpeg(encode_jpeg(noise, quality=q))
+        dec = np.stack([b[1], b[2], b[3]], -1).astype(int)
+        errs.append(float(np.abs(dec - noise.astype(int)).mean()))
+    assert errs[0] > errs[1] > errs[2]
+
+    # non-multiple-of-8 and degenerate shapes decode to original dims
+    for shape in [(1, 1), (3, 9), (17, 1), (16, 24)]:
+        g = rng.integers(0, 256, shape, dtype=np.uint8)
+        b, _ = decode_jpeg(encode_jpeg(g, quality=90))
+        assert b[1].shape == shape
+
+
+def test_encode_rejects_bad_input():
+    import pytest as _pytest
+
+    from gdal_spark.sources.jpeg import encode_jpeg
+
+    with _pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4), dtype=np.uint8), subsampling="422")
+    with _pytest.raises(ValueError):
+        encode_jpeg(np.zeros((0, 4), dtype=np.uint8))
+
+
+def test_tile_pyramid_jpg(spark, tmp_path):
+    """JPEG XYZ tiles: same sampled values as the tif pyramid within the
+    quality-90 error bound."""
+    from gdal_spark.raster.model import byte_fixture, tiles_from_array
+    from gdal_spark.raster.tile_pyramid import raster_tile_pyramid
+    from gdal_spark.sources.png import decode_png
+
+    arr, meta = byte_fixture()
+    tiles = tiles_from_array(spark, arr, meta)
+    jw = raster_tile_pyramid(
+        tiles, meta, 26711, str(tmp_path / "jp"), zooms=(13,),
+        tile_format="jpg",
+    ).collect()
+    pw = raster_tile_pyramid(
+        tiles, meta, 26711, str(tmp_path / "pp"), zooms=(13,),
+        tile_format="png",
+    ).collect()
+    assert jw and all(r.path.endswith(".jpg") for r in jw)
+    # PNG tiles are a pixel-identical encoding of the same sampled values
+    ref = {(r.z, r.x, r.y): r.path for r in pw}
+    for r in jw:
+        bands, info = decode_jpeg(open(r.path, "rb").read())
+        assert bands[1].shape == (256, 256)
+        pbands, _ = decode_png(open(ref[(r.z, r.x, r.y)], "rb").read())
+        err = np.abs(bands[1].astype(int) - pbands[1].astype(int))
+        assert err.mean() < 4 and err.max() <= 48
