@@ -666,7 +666,13 @@ def _quantize_zz(coefs: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
     q8 = (qtbl << 3).reshape(8, 8)
     a = coefs
     q = np.sign(a) * ((np.abs(a) + (q8 >> 1)) // q8)
-    return q.reshape(-1, 64)[:, _ZIGZAG]
+    zz = q.reshape(-1, 64)[:, _ZIGZAG]
+    # baseline AC categories stop at 10 bits. For uint8 input the islow
+    # FDCT provably stays within ±1020 even at all-1 tables (basis-
+    # matched adversarial input, tests/test_jpeg.py), but clamp anyway —
+    # a silent ±3 at the extreme beats an unencodable stream
+    np.clip(zz[:, 1:], -1023, 1023, out=zz[:, 1:])
+    return zz
 
 
 class _BitWriter:

@@ -174,3 +174,25 @@ def test_tile_pyramid_jpg(spark, tmp_path):
         pbands, _ = decode_png(open(ref[(r.z, r.x, r.y)], "rb").read())
         err = np.abs(bands[1].astype(int) - pbands[1].astype(int))
         assert err.mean() < 4 and err.max() <= 48
+
+
+def test_encode_adversarial_basis_input():
+    """Basis-sign-matched blocks maximize |AC| (1020 at quality 100 for
+    uint8 input — inside baseline's 10-bit category limit; the encoder
+    clamps at 1023 as insurance). Whole-image roundtrip must encode and
+    decode cleanly at every quality."""
+    from gdal_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    n = np.arange(8)
+    C = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    tiles = [
+        np.where(np.outer(C[u], C[v]) >= 0, 255, 0).astype(np.uint8)
+        for u in range(8) for v in range(8)
+    ]
+    img = np.vstack([np.hstack(tiles[i * 8:(i + 1) * 8]) for i in range(8)])
+    for q in (100, 95, 10):
+        bands, _ = decode_jpeg(encode_jpeg(img, quality=q))
+        assert bands[1].shape == img.shape
+    # at q100 the worst block still reconstructs closely
+    b100, _ = decode_jpeg(encode_jpeg(img, quality=100))
+    assert np.abs(b100[1].astype(int) - img.astype(int)).max() <= 8
