@@ -455,6 +455,8 @@ def line_dedup(
     Returns ``(id_col, text, n_lines, n_kept)`` where ``text`` is the
     deduplicated document (may be ``''`` when every line was a later
     copy) and ``n_lines``/``n_kept`` count lines before/after.
+    ``sep`` is a LITERAL separator — it is \\Q-quoted for the split and
+    used verbatim for the rejoin, so regex metacharacters are safe.
 
     Scale shape: two shuffles — one on the trimmed line value (the
     first-occurrence decision; Spark hash-partitions the string key, and
@@ -464,7 +466,9 @@ def line_dedup(
     """
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("pos", "line"),
     )
     w = Window.partitionBy(F.trim(F.col("line"))).orderBy("id", "pos")
     ranked = lines.withColumn("first_seen", F.row_number().over(w) == 1)

@@ -388,3 +388,15 @@ def test_line_dedup_randomized_vs_python_reference(spark):
     df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
     got = {r.doc_id: (r.text, r.n_lines, r.n_kept) for r in line_dedup(df).collect()}
     assert got == expect
+
+
+def test_line_dedup_literal_separator(spark):
+    """sep is literal, not regex: '.' must not split on every char."""
+    from gdal_spark.text.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(0, "abc.def"), (1, "def.ghi")], "doc_id LONG, text STRING"
+    )
+    out = {r.doc_id: r for r in line_dedup(df, sep=".").collect()}
+    assert out[0].text == "abc.def" and out[0].n_lines == 2
+    assert out[1].text == "ghi" and out[1].n_kept == 1
