@@ -3964,6 +3964,71 @@ def q_raster_tile_index(spark, sf_dir):
     ).orderBy("location")
 
 
+@_register("ogr_layer_extent_index")
+def q_ogr_layer_extent_index(spark, sf_dir):
+    """ogrtindex (apps/ogrtindex.cpp): one feature per layer with the
+    distributed GetExtent bbox. Extents reduce map-side over the
+    vectorized WKB envelope gather; the oracle recomputes them from the
+    RAW fixture ring coordinates (never touching the WKB codec)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from fixtures_poly import poly_rings
+
+    from gdal_spark.geometry import wkb as _wkb
+    from gdal_spark.raster.tindex import vector_tile_index
+
+    rings = poly_rings()
+    rows = [
+        (int(i), bytearray(_wkb.polygon_wkb(p[0], p[1:])))
+        for i, p in enumerate(rings)
+    ]
+    df = spark.createDataFrame(rows, "fid LONG, geometry BINARY")
+    layers = [("poly.shp,0", df), ("poly_head3,0", df.filter(F.col("fid") < 3))]
+    out = vector_tile_index(layers)
+
+    def e3(c):
+        return F.floor(c * 1000 + F.lit(0.5)).cast("long")
+
+    return out.select(
+        "location", F.col("n_geoms").cast("long").alias("n_geoms"),
+        e3(F.col("xmin")).alias("xmin_e3"), e3(F.col("ymin")).alias("ymin_e3"),
+        e3(F.col("xmax")).alias("xmax_e3"), e3(F.col("ymax")).alias("ymax_e3"),
+    ).orderBy("location")
+
+
+def _oracle_layer_extent_index() -> str:
+    import math
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from fixtures_poly import poly_rings
+
+    rings = poly_rings()
+
+    def ext(sel):
+        xs = [pt[0] for p in sel for ring in p for pt in ring]
+        ys = [pt[1] for p in sel for ring in p for pt in ring]
+        return (min(xs), min(ys), max(xs), max(ys))
+
+    rows = []
+    for loc, sel in (("poly.shp,0", rings), ("poly_head3,0", rings[:3])):
+        x0, y0, x1, y1 = ext(sel)
+        vals = [int(math.floor(v * 1000 + 0.5)) for v in (x0, y0, x1, y1)]
+        rows.append(f"('{loc}', {len(sel)}, " + ", ".join(map(str, vals)) + ")")
+    return (
+        "SELECT location, CAST(n_geoms AS BIGINT) AS n_geoms, "
+        "CAST(xmin_e3 AS BIGINT) AS xmin_e3, CAST(ymin_e3 AS BIGINT) AS ymin_e3, "
+        "CAST(xmax_e3 AS BIGINT) AS xmax_e3, CAST(ymax_e3 AS BIGINT) AS ymax_e3 "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") t(location, n_geoms, xmin_e3, ymin_e3, xmax_e3, ymax_e3) "
+        "ORDER BY location"
+    )
+
+
+_lazy_oracle("ogr_layer_extent_index", _oracle_layer_extent_index)
+
+
 @_register("viewshed_checksum")
 def q_viewshed_checksum(spark, sf_dir):
     """Viewshed (alg/viewshed/viewshed_executor.cpp, Wang 2000

@@ -20,9 +20,11 @@ import struct
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType
 
 
-@pandas_udf("binary")
+# DataType instance, not a DDL string: module must import session-free
+@pandas_udf(BinaryType())
 def _ring_wkb(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series,
               x2: pd.Series, y2: pd.Series, x3: pd.Series, y3: pd.Series
               ) -> pd.Series:
@@ -71,4 +73,65 @@ def tile_index(
         .withColumn("xmax", F.greatest(*xs))
         .withColumn("ymax", F.greatest(*ys))
         .drop(*[f"__c{ax}{i}" for i in range(4) for ax in ("x", "y")])
+    )
+
+
+def layer_extent(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
+    """OGRLayer::GetExtent / ``ogrtindex`` building block: the layer's
+    bbox as ONE row ``(xmin, ymin, xmax, ymax, n_geoms)``. Per-row
+    envelopes come from the vectorized WKB gather (the same kernel the
+    staged spatial predicates use); the extent is a single min/max
+    reduce — partial aggregation map-side, a one-row shuffle, works
+    unchanged on a billion-feature layer."""
+    from pyspark.sql.functions import pandas_udf
+
+    from gdal_spark.geometry import wkb as _wkb
+
+    @pandas_udf("minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE")
+    def env(blobs: pd.Series) -> pd.DataFrame:
+        minx, miny, maxx, maxy, _ = _wkb.envelopes_batch(
+            [None if b is None else bytes(b) for b in blobs]
+        )
+        return pd.DataFrame(
+            {"minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy}
+        )
+
+    e = df.select(env(F.col(geom_col)).alias("e"))
+    return e.agg(
+        F.min("e.minx").alias("xmin"),
+        F.min("e.miny").alias("ymin"),
+        F.max("e.maxx").alias("xmax"),
+        F.max("e.maxy").alias("ymax"),
+        F.count("e.minx").alias("n_geoms"),
+    )
+
+
+def vector_tile_index(layers: list) -> DataFrame:
+    """``ogrtindex`` (apps/ogrtindex.cpp): one feature per input layer —
+    LOCATION string + the layer-extent polygon. ``layers``: list of
+    ``(location, DataFrame)``; geometry column must be ``geometry``.
+    Each layer's extent is its own distributed reduce; the index union
+    is len(layers) single rows."""
+    import struct as _struct
+
+    out = None
+    for location, df in layers:
+        one = layer_extent(df).select(
+            F.lit(location).alias("location"),
+            "xmin", "ymin", "xmax", "ymax", "n_geoms",
+        )
+        out = one if out is None else out.unionByName(one)
+
+    @pandas_udf("binary")
+    def bbox_wkb(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series
+                 ) -> pd.Series:
+        head = _struct.pack("<BII", 1, 3, 1)
+        return pd.Series([
+            head + _struct.pack("<I10d", 5, a, b, c, b, c, d, a, d, a, b)
+            for a, b, c, d in zip(x0, y0, x1, y1)
+        ])
+
+    return out.withColumn(
+        "geometry", bbox_wkb(F.col("xmin"), F.col("ymin"),
+                             F.col("xmax"), F.col("ymax"))
     )
