@@ -446,10 +446,13 @@ def line_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n",
+    keep: str = "first",
 ) -> DataFrame:
     """CCNet-style corpus-level line/paragraph dedup (Wenzek et al. 2020
-    §3.1, public paper): every line keeps only its FIRST occurrence
-    corpus-wide — ordered by (id, position) — and each document is
+    §3.1, public paper): with ``keep='first'`` every line keeps only its
+    FIRST occurrence corpus-wide — ordered by (id, position); with
+    ``keep='none'`` (the paper's stricter variant) EVERY copy of a
+    duplicated line is dropped, including the first. Each document is
     re-assembled from its surviving lines in original order.
 
     Returns ``(id_col, text, n_lines, n_kept)`` where ``text`` is the
@@ -464,14 +467,20 @@ def line_dedup(
     id for reassembly. Line text travels once each way; the heavy full
     ``text`` column never shuffles.
     """
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be 'first' or 'none'")
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.split(F.col(text_col), "\\Q" + sep + "\\E")
         ).alias("pos", "line"),
     )
-    w = Window.partitionBy(F.trim(F.col("line"))).orderBy("id", "pos")
-    ranked = lines.withColumn("first_seen", F.row_number().over(w) == 1)
+    key = Window.partitionBy(F.trim(F.col("line")))
+    if keep == "first":
+        survives = F.row_number().over(key.orderBy("id", "pos")) == 1
+    else:  # unordered full-partition count: no sort needed
+        survives = F.count(F.lit(1)).over(key) == 1
+    ranked = lines.withColumn("first_seen", survives)
     kept_struct = F.when(
         F.col("first_seen"), F.struct(F.col("pos"), F.col("line"))
     )  # collect_list drops the NULLs for dropped lines

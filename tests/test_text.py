@@ -400,3 +400,22 @@ def test_line_dedup_literal_separator(spark):
     out = {r.doc_id: r for r in line_dedup(df, sep=".").collect()}
     assert out[0].text == "abc.def" and out[0].n_lines == 2
     assert out[1].text == "ghi" and out[1].n_kept == 1
+
+
+def test_line_dedup_keep_none(spark):
+    """keep='none' drops EVERY copy of a duplicated line (the stricter
+    CCNet variant), not just the later ones."""
+    import pytest as _pytest
+
+    from gdal_spark.text.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(0, "alpha\nbeta"), (1, "beta\ngamma"), (2, "delta\ndelta")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in line_dedup(df, keep="none").collect()}
+    assert out[0].text == "alpha"           # beta is duplicated -> gone
+    assert out[1].text == "gamma"
+    assert out[2].text == "" and out[2].n_kept == 0  # self-duplicate
+    with _pytest.raises(ValueError):
+        line_dedup(df, keep="last")
