@@ -878,6 +878,65 @@ def q_corpus_curation_pipeline(spark, sf_dir):
     )
 
 
+_PII_TEXT_SQL = (
+    "d.text || ' contact user' || d.doc_id || '@example.com or 10.0.0.' "
+    "|| (d.doc_id % 256) || ' tel +12345678901'"
+)
+_PII_SQL = analysis.pii_redact_sql(f"({_PII_TEXT_SQL})")
+
+
+@_register(
+    "pii_redact_counts",
+    f"""
+    SELECT d.doc_id,
+           {_PII_SQL['n_email']} AS n_email,
+           {_PII_SQL['n_ipv4']} AS n_ipv4,
+           {_PII_SQL['n_phone']} AS n_phone,
+           {analysis.fingerprint_sql(_PII_SQL['text_redacted'])} AS fp
+    FROM documents d ORDER BY d.doc_id
+    """,
+)
+def q_pii_redact_counts(spark, sf_dir):
+    """RefinedWeb/C4-style PII scrub on synthesized PII-bearing text
+    (the corpus tables carry none): per-kind match counts + the rolling
+    fingerprint of the REDACTED text — any divergence in match spans or
+    replacement tokens between the Java-regex and RE2 paths breaks the
+    hash. Map-only: scrubbing rides the scan."""
+    d = _t(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(" tel +12345678901"),
+    )
+    out = analysis.pii_redact(d.select("doc_id", t2.alias("text")))
+    return analysis.fingerprint(
+        out.select("doc_id", "n_email", "n_ipv4", "n_phone",
+                   F.col("text_redacted").alias("text"))
+    ).select("doc_id", "n_email", "n_ipv4", "n_phone", "fp").orderBy("doc_id")
+
+
+_BLOCKLIST = ["spark", "hash", "merge"]
+_BLK_SQL = analysis.blocklist_filter_sql("d.text", _BLOCKLIST)
+
+
+@_register(
+    "blocklist_filter_flags",
+    f"""
+    SELECT d.doc_id, {_BLK_SQL['n_blocked']} AS n_blocked,
+           {_BLK_SQL['blocked']} AS blocked
+    FROM documents d ORDER BY d.doc_id
+    """,
+)
+def q_blocklist_filter_flags(spark, sf_dir):
+    """C4-style blocklist screen (Raffel et al. 2020 §2.2 'bad words'
+    filtering, public paper): exact token matches against a policy list
+    carried as a plan literal — map-only, no shuffle, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    return analysis.blocklist_filter(d, _BLOCKLIST).select(
+        "doc_id", "n_blocked", "blocked"
+    ).orderBy("doc_id")
+
+
 @_register(
     "tfidf_top_terms",
     """

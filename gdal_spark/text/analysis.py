@@ -376,3 +376,74 @@ def tfidf_top_terms(
             "score_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + blocklist filtering (C4/RefinedWeb-style hygiene ops)
+# ---------------------------------------------------------------------------
+
+# patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\+?\d{9,15}\b", "<PHONE>"),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """RefinedWeb/C4-style PII scrub: emails, IPv4 addresses and long
+    digit runs (phone-like) replaced by typed tokens, plus per-kind
+    match counts (``n_email/n_ipv4/n_phone``, counted on the ORIGINAL
+    text). Replacements apply in PII_PATTERNS order — earlier tokens
+    contain no digits, so later patterns cannot match inside them.
+    Map-only JVM regexps: scrubs at scan speed, no shuffle."""
+    out = df
+    for name, pat, _ in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long"),
+        )
+    red = F.col(text_col)
+    for _, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    return out.withColumn(out_col, red)
+
+
+def pii_redact_sql(text_expr: str) -> dict[str, str]:
+    """DuckDB expressions matching :func:`pii_redact` (the 'g' flag —
+    DuckDB replaces only the first match by default, Spark replaces
+    all)."""
+    cols = {}
+    for name, pat, _ in PII_PATTERNS:
+        cols[f"n_{name}"] = (
+            f"CAST(len(regexp_extract_all({text_expr}, '{pat}', 0)) AS BIGINT)"
+        )
+    red = text_expr
+    for _, pat, rep in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    cols["text_redacted"] = red
+    return cols
+
+
+def blocklist_filter(df: DataFrame, words: list[str],
+                     text_col: str = "text") -> DataFrame:
+    """C4-style blocklist screen: exact whitespace-token matches against
+    ``words`` (occurrences counted with repeats); adds ``n_blocked`` and
+    ``blocked``. The list rides the plan as a literal array (it is a
+    policy list, thousands at most) — map-only, no shuffle, no UDF."""
+    blk = F.array(*[F.lit(w) for w in words])
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(F.filter(toks, lambda t: F.array_contains(blk, t))).cast("long")
+    return df.withColumn("n_blocked", n).withColumn("blocked", n > 0)
+
+
+def blocklist_filter_sql(text_expr: str, words: list[str]) -> dict[str, str]:
+    lst = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
+    n = (
+        f"CAST(len(list_filter(string_split_regex(trim({text_expr}), '\\s+'),"
+        f" t -> list_contains({lst}, t))) AS BIGINT)"
+    )
+    return {"n_blocked": n, "blocked": f"({n} > 0)"}

@@ -419,3 +419,39 @@ def test_line_dedup_keep_none(spark):
     assert out[2].text == "" and out[2].n_kept == 0  # self-duplicate
     with _pytest.raises(ValueError):
         line_dedup(df, keep="last")
+
+
+def test_pii_redact(spark):
+    from gdal_spark.text.analysis import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@sub.example.org now"),
+            (1, "server 192.168.001.005 and phone +4915123456789 ok"),
+            (2, "clean text with no pii at all"),
+            (3, "two mails x@y.io z@w.co and ip 10.0.0.1"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert got[0].n_email == 1 and "<EMAIL>" in got[0].text_redacted
+    assert "a.b+c" not in got[0].text_redacted
+    assert got[1].n_ipv4 == 1 and got[1].n_phone == 1
+    assert "<IP>" in got[1].text_redacted and "<PHONE>" in got[1].text_redacted
+    assert got[2].text_redacted == got[2].text
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 0, 0)
+    assert got[3].n_email == 2 and got[3].n_ipv4 == 1
+    assert got[3].text_redacted == "two mails <EMAIL> <EMAIL> and ip <IP>"
+
+
+def test_blocklist_filter(spark):
+    from gdal_spark.text.analysis import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(0, "bad word bad again"), (1, "all clean here"), (2, "badge is not bad-ge")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in blocklist_filter(df, ["bad", "worse"]).collect()}
+    assert got[0].n_blocked == 2 and got[0].blocked      # repeats count
+    assert got[1].n_blocked == 0 and not got[1].blocked
+    assert got[2].n_blocked == 0                         # exact tokens only
