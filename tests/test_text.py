@@ -455,3 +455,27 @@ def test_blocklist_filter(spark):
     assert got[0].n_blocked == 2 and got[0].blocked      # repeats count
     assert got[1].n_blocked == 0 and not got[1].blocked
     assert got[2].n_blocked == 0                         # exact tokens only
+
+
+def test_curate_one_call(spark):
+    """The one-call hygiene chain: quality gate, blocklist, PII scrub,
+    line dedup, and exact dedup all engage in a single composed plan."""
+    from gdal_spark.text.pipeline import curate
+
+    stops = ["the", "and", "of", "to", "in", "is", "a"]
+    def prose(tag, n=60):
+        return " ".join(f"{stops[i % 7]} {tag}{i:03d}" for i in range(n))
+
+    docs = [
+        (0, prose("alpha")),                        # survives
+        (1, "too short"),                           # quality: doc_length
+        (2, prose("beta") + " forbidden"),          # blocklist hit
+        (3, prose("gamma") + " mail me x@y.com"),   # survives, PII redacted
+        (4, prose("alpha")),                        # exact dup of 0 -> dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in curate(df, blocklist=["forbidden"]).collect()}
+    assert set(out) == {0, 3}
+    assert "<EMAIL>" in out[3].text and "x@y.com" not in out[3].text
+    # all stages map-only until line dedup: the survivors keep full text
+    assert out[0].n_kept == out[0].n_lines == 1
