@@ -3904,6 +3904,58 @@ def q_streaming_dedup_count(spark, sf_dir):
 
 
 @_register(
+    "streaming_line_dedup_count",
+    """
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    lines AS (
+      SELECT array_to_string(ws[i*8+1:i*8+8], ' ') AS line
+      FROM w, UNNEST(generate_series(0, CAST((len(ws) + 7) // 8 AS INT) - 1)) AS t(i))
+    SELECT CAST(COUNT(DISTINCT trim(line)) AS BIGINT) AS n_lines
+    FROM lines
+    """,
+)
+def q_streaming_line_dedup_count(spark, sf_dir):
+    """The streaming face of CCNet line dedup: documents stream in,
+    lines explode out, watermarked dropDuplicates keeps the first
+    occurrence of each line — the surviving-line count after the drain
+    equals the batch COUNT(DISTINCT). State is bounded by the watermark
+    horizon × distinct lines (at production scale the key would be the
+    line's xxhash64, same first-wins semantics)."""
+    import os as _os
+    import tempfile as _tempfile
+    import time as _time
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmpdir = _tempfile.mkdtemp(prefix="stream_ld_")
+    link = _os.path.join(tmpdir, "documents.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(_os.path.abspath(f"{sf_dir}/documents.parquet"), link)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir)
+    )
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.floor((F.size(ws) + F.lit(7)) / F.lit(8)).cast("int")
+    line_arr = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+    )
+    lines = stream.select(
+        F.current_timestamp().alias("ts"),
+        F.explode(line_arr).alias("line"),
+    ).select("ts", F.trim(F.col("line")).alias("key"))
+    deduped = lines.withWatermark("ts", "1 hour").dropDuplicates(["key"])
+    name = f"stream_ld_{int(_time.time() * 1000) % 10_000_000}"
+    q = (
+        deduped.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT CAST(COUNT(*) AS BIGINT) AS n_lines FROM {name}")
+
+
+@_register(
     "streaming_quality_filter",
     f"""
     WITH tw AS (
