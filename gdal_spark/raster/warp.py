@@ -874,3 +874,42 @@ def suggested_warp_output(
         block_w=min(block_w, w), block_h=min(block_h, h),
         gt=(x0, pixel, 0.0, y1, 0.0, -pixel),
     )
+
+
+def tap_meta(
+    src_meta: RasterMeta,
+    xres: float,
+    yres: float,
+    dtype: str | None = None,
+    block_w: int = 256,
+    block_h: int = 256,
+) -> RasterMeta:
+    """``gdalwarp -tap -tr xres yres`` (apps/gdalwarp_lib.cpp, the
+    TARGET_ALIGNED_PIXELS extent snap): expand the source extent outward
+    to multiples of the resolution so output pixel edges land on the
+    res grid — mosaicking neighbors then line up exactly. Axis-aligned
+    GeoTransforms only (the reference applies -tap to the suggested
+    axis-aligned output too). Returns the destination RasterMeta for the
+    existing (gated) warp operators."""
+    g = src_meta.gt
+    if g[2] != 0.0 or g[4] != 0.0:
+        raise ValueError("tap_meta wants an axis-aligned GeoTransform")
+    if xres <= 0 or yres <= 0:
+        raise ValueError("resolutions must be positive")
+    minx = min(g[0], g[0] + src_meta.width * g[1])
+    maxx = max(g[0], g[0] + src_meta.width * g[1])
+    miny = min(g[3], g[3] + src_meta.height * g[5])
+    maxy = max(g[3], g[3] + src_meta.height * g[5])
+    minx = np.floor(minx / xres) * xres
+    maxx = np.ceil(maxx / xres) * xres
+    miny = np.floor(miny / yres) * yres
+    maxy = np.ceil(maxy / yres) * yres
+    # the reference's +res/2 rounding when sizing the grid
+    w = int((maxx - minx + xres / 2) / xres)
+    h = int((maxy - miny + yres / 2) / yres)
+    return RasterMeta(
+        width=w, height=h, dtype=dtype or src_meta.dtype,
+        block_w=block_w, block_h=block_h,
+        gt=(float(minx), float(xres), 0.0, float(maxy), 0.0, -float(yres)),
+        nodata=src_meta.nodata, bands=src_meta.bands,
+    )

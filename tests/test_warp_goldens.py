@@ -289,3 +289,24 @@ def test_warp_cutline_blend_distributed_matches_oracle(spark):
     b1 = warp_affine_np(src, src_meta, dst_meta, alg="bilinear", init=-1.0,
                         cutline=cut, cutline_blend_dist=2.5)
     assert (b0 != b1).any()
+
+
+def test_tap_meta_alignment(spark):
+    """gdalwarp -tap: output pixel edges land on multiples of the
+    resolution, extent covers the source, size uses the +res/2 round."""
+    import pytest as _pytest
+
+    from gdal_spark.raster.model import RasterMeta
+    from gdal_spark.raster.warp import tap_meta
+
+    src = RasterMeta(width=20, height=10, gt=(100.3, 3.0, 0.0, 57.7, 0.0, -2.0))
+    m = tap_meta(src, 5.0, 5.0)
+    # src extent x [100.3, 160.3] y [37.7, 57.7] -> snapped outward
+    assert m.gt == (100.0, 5.0, 0.0, 60.0, 0.0, -5.0)
+    assert (m.width, m.height) == (13, 5)        # 165-100=65/5, 60-35=25/5
+    assert m.gt[0] % 5.0 == 0.0 and m.gt[3] % 5.0 == 0.0
+    # covers the source extent
+    assert m.gt[0] <= 100.3 and m.gt[0] + m.width * 5.0 >= 160.3
+    assert m.gt[3] >= 57.7 and m.gt[3] - m.height * 5.0 <= 37.7
+    with _pytest.raises(ValueError):
+        tap_meta(RasterMeta(width=4, height=4, gt=(0, 1, 0.1, 0, 0, -1)), 1, 1)
