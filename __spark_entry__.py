@@ -878,6 +878,30 @@ def q_corpus_curation_pipeline(spark, sf_dir):
     )
 
 
+_TOK_SQL = analysis.token_metrics_sql("d.text")
+
+
+@_register(
+    "bpe_token_counts",
+    f"""
+    SELECT d.doc_id,
+           {_TOK_SQL['n_ws_tokens']} AS n_ws_tokens,
+           {_TOK_SQL['n_bpe_tokens']} AS n_bpe_tokens,
+           {_TOK_SQL['chars_per_token_e3']} AS chars_per_token_e3
+    FROM documents d ORDER BY d.doc_id
+    """,
+)
+def q_bpe_token_counts(spark, sf_dir):
+    """Token counting both ways (whitespace + the GPT-2 pre-tokenizer
+    split, lookahead-free so Java regex and RE2 agree) plus the
+    chars-per-token budget estimator. Map-only JVM regexps — token
+    accounting for a 100 TB corpus rides the scan."""
+    d = _t(spark, sf_dir, "documents")
+    return analysis.token_metrics(d).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens", "chars_per_token_e3"
+    ).orderBy("doc_id")
+
+
 _PII_TEXT_SQL = (
     "d.text || ' contact user' || d.doc_id || '@example.com or 10.0.0.' "
     "|| (d.doc_id % 256) || ' tel +12345678901'"

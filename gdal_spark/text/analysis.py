@@ -447,3 +447,51 @@ def blocklist_filter_sql(text_expr: str, words: list[str]) -> dict[str, str]:
         f" t -> list_contains({lst}, t))) AS BIGINT)"
     )
     return {"n_blocked": n, "blocked": f"({n} > 0)"}
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pre-tokenization counting
+# ---------------------------------------------------------------------------
+
+# GPT-2's pre-tokenizer pattern (public: openai/gpt-2 encoder.py) minus
+# the trailing (?!\S) lookahead — RE2 has no lookaround, and Java/RE2
+# agree on this lookahead-free form (leftmost-first alternation both).
+BPE_TOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def token_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting both ways the pipeline needs it: whitespace tokens
+    (``n_ws_tokens``) and BPE-style pre-tokenizer pieces
+    (``n_bpe_tokens`` — the GPT-2 split pattern; whitespace-only pieces
+    excluded) plus ``chars_per_token_e3`` (the chars/token budget
+    estimator). Map-only JVM regexps."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))
+    n_bpe = F.size(F.filter(pieces, lambda t: F.trim(t) != F.lit(""))).cast("long")
+    n_ws = token_count_col(text_col).cast("long")
+    return (
+        df.withColumn("n_ws_tokens", n_ws)
+        .withColumn("n_bpe_tokens", n_bpe)
+        .withColumn(
+            "chars_per_token_e3",
+            F.floor(F.length(F.col(text_col)) * F.lit(1000)
+                    / F.greatest(n_bpe, F.lit(1))).cast("long"),
+        )
+    )
+
+
+def token_metrics_sql(text_expr: str) -> dict[str, str]:
+    pat = BPE_TOKEN_RE.replace("'", "''")  # SQL string-literal escaping
+    pieces = f"regexp_extract_all({text_expr}, '{pat}', 0)"
+    n_bpe = f"len(list_filter({pieces}, t -> trim(t) != ''))"
+    n_ws = f"len(string_split_regex(trim({text_expr}), '\\s+'))"
+    return {
+        "n_ws_tokens": f"CAST({n_ws} AS BIGINT)",
+        "n_bpe_tokens": f"CAST({n_bpe} AS BIGINT)",
+        "chars_per_token_e3": (
+            f"CAST(FLOOR(length({text_expr}) * 1000.0 "
+            f"/ GREATEST({n_bpe}, 1)) AS BIGINT)"
+        ),
+    }

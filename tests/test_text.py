@@ -479,3 +479,22 @@ def test_curate_one_call(spark):
     assert "<EMAIL>" in out[3].text and "x@y.com" not in out[3].text
     # all stages map-only until line dedup: the survivors keep full text
     assert out[0].n_kept == out[0].n_lines == 1
+
+
+def test_token_metrics_bpe(spark):
+    from gdal_spark.text.analysis import token_metrics
+
+    df = spark.createDataFrame(
+        [
+            (0, "Hello world, it's 42 tokens-ish!"),
+            (1, "plain words only here"),
+            (2, "unicode héllo café 123"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in token_metrics(df).collect()}
+    # Hello|' world'|,|' it'|'s|' 42'|' tokens'|-|ish|! -> 10 pieces
+    assert (got[0].n_ws_tokens, got[0].n_bpe_tokens) == (5, 10)
+    assert got[1].n_bpe_tokens == 4
+    assert got[2].n_bpe_tokens == 4  # \p{L} spans the accented letters
+    assert got[1].chars_per_token_e3 == 21000 // 4
