@@ -878,6 +878,54 @@ def q_corpus_curation_pipeline(spark, sf_dir):
     )
 
 
+_LM_TEXT_SQL = (
+    "array_to_string(list_transform("
+    "generate_series(0, CAST((len(string_split_regex(trim(d.text), '\\s+')) + 7) // 8 AS INT) - 1),"
+    " i -> (CASE WHEN (d.doc_id + i) % 3 = 0 THEN '• ' ELSE '' END)"
+    " || array_to_string(string_split_regex(trim(d.text), '\\s+')[i*8+1:i*8+8], ' ')"
+    " || (CASE WHEN (d.doc_id + i) % 5 = 0 THEN ' ...' ELSE '' END)"
+    "), chr(10))"
+)
+_LM_SQL = analysis.line_metrics_sql(f"({_LM_TEXT_SQL})")
+
+
+@_register(
+    "gopher_line_metrics",
+    f"""
+    SELECT d.doc_id,
+           {_LM_SQL['n_lines']} AS n_lines,
+           {_LM_SQL['bullet_lines']} AS bullet_lines,
+           {_LM_SQL['ellipsis_lines']} AS ellipsis_lines,
+           {_LM_SQL['n_words']} AS n_words,
+           {_LM_SQL['alpha_words']} AS alpha_words
+    FROM documents d ORDER BY d.doc_id
+    """,
+)
+def q_gopher_line_metrics(spark, sf_dir):
+    """The remaining Gopher line-level rules (Rae et al. 2021 §A1.1:
+    bullet-started lines, ellipsis-ended lines, words-with-alpha) as
+    map-only metrics. The corpus is single-line, so the gate decorates
+    deterministic 8-word pseudo-lines with bullets/ellipses — built
+    with the identical index arithmetic on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.floor((F.size(ws) + F.lit(7)) / F.lit(8)).cast("int")
+    doc = F.col("doc_id")
+    dec = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat(
+            F.when((doc + i) % 3 == 0, F.lit("• ")).otherwise(F.lit("")),
+            F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+            F.when((doc + i) % 5 == 0, F.lit(" ...")).otherwise(F.lit("")),
+        ),
+    )
+    chunked = d.select("doc_id", F.array_join(dec, "\n").alias("text"))
+    return analysis.line_metrics(chunked).select(
+        "doc_id", "n_lines", "bullet_lines", "ellipsis_lines",
+        "n_words", "alpha_words",
+    ).orderBy("doc_id")
+
+
 _TOK_SQL = analysis.token_metrics_sql("d.text")
 
 

@@ -495,3 +495,48 @@ def token_metrics_sql(text_expr: str) -> dict[str, str]:
             f"/ GREATEST({n_bpe}, 1)) AS BIGINT)"
         ),
     }
+
+
+def line_metrics(df: DataFrame, text_col: str = "text",
+                 sep: str = "\n") -> DataFrame:
+    """The Gopher line-level rules (Rae et al. 2021 §A1.1: drop docs
+    with >90% bullet-started lines, >30% ellipsis-ended lines, or <80%
+    words containing an alphabetic character) as integer metric columns:
+    ``n_lines, bullet_lines, ellipsis_lines, n_words, alpha_words``.
+    Map-only array filters; ``sep`` is a literal separator."""
+    ls = F.split(F.col(text_col), "\\Q" + sep + "\\E")
+    bullets = F.size(F.filter(
+        ls, lambda t: F.substring(F.ltrim(t), 1, 1).isin("•", "-", "*")
+    ))
+    ellipsis = F.size(F.filter(
+        ls, lambda t: F.rtrim(t).endswith("...") | F.rtrim(t).endswith("…")
+    ))
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    return (
+        df.withColumn("n_lines", F.size(ls).cast("long"))
+        .withColumn("bullet_lines", bullets.cast("long"))
+        .withColumn("ellipsis_lines", ellipsis.cast("long"))
+        .withColumn("n_words", F.size(ws).cast("long"))
+        .withColumn("alpha_words", alpha.cast("long"))
+    )
+
+
+def line_metrics_sql(text_expr: str, sep_chr: str = "chr(10)") -> dict[str, str]:
+    ls = f"string_split({text_expr}, {sep_chr})"
+    ws = f"string_split_regex(trim({text_expr}), '\\s+')"
+    bullets = (
+        f"len(list_filter({ls}, t -> substr(ltrim(t), 1, 1) IN ('•', '-', '*')))"
+    )
+    ellipsis = (
+        f"len(list_filter({ls}, t -> ends_with(rtrim(t), '...')"
+        f" OR ends_with(rtrim(t), '…')))"
+    )
+    alpha = f"len(list_filter({ws}, w -> regexp_matches(w, '[A-Za-z]')))"
+    return {
+        "n_lines": f"CAST(len({ls}) AS BIGINT)",
+        "bullet_lines": f"CAST({bullets} AS BIGINT)",
+        "ellipsis_lines": f"CAST({ellipsis} AS BIGINT)",
+        "n_words": f"CAST(len({ws}) AS BIGINT)",
+        "alpha_words": f"CAST({alpha} AS BIGINT)",
+    }

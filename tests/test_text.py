@@ -498,3 +498,18 @@ def test_token_metrics_bpe(spark):
     assert got[1].n_bpe_tokens == 4
     assert got[2].n_bpe_tokens == 4  # \p{L} spans the accented letters
     assert got[1].chars_per_token_e3 == 21000 // 4
+
+
+def test_line_metrics(spark):
+    from gdal_spark.text.analysis import line_metrics
+
+    df = spark.createDataFrame(
+        [(0, "• item one\n- dash two\nplain line\ntrailing off...\nend…")],
+        "doc_id LONG, text STRING",
+    )
+    r = line_metrics(df).collect()[0]
+    assert r.n_lines == 5
+    assert r.bullet_lines == 2      # • and -
+    assert r.ellipsis_lines == 2    # ... and …
+    assert r.n_words == 11          # 'off...' is a single token
+    assert r.alpha_words == 9       # '•' and '-' tokens have no letters
