@@ -3637,6 +3637,47 @@ def q_multimodal_png_real_decode(spark, sf_dir):
     return feats.select("media_id", "mean_e6", "std_e6", *hist_cols).orderBy("media_id")
 
 
+@_register("multimodal_bmp_real_decode")
+def q_multimodal_bmp_real_decode(spark, sf_dir):
+    """BMP codec end-to-end IN-CONTAINER (frmts/bmp/bmpdataset.cpp
+    surface): executor-side synth pixels → encode_bmp → Arrow batch →
+    decode_bmp → per-image stats; the codec-free seed oracle hash-matches
+    because BMP is lossless."""
+    from gdal_spark.multimodal import image_features, synth_bmp_media
+
+    media = synth_bmp_media(spark, 48)
+    feats = image_features(media, decode="real")
+    hist_cols = [F.col("hist")[i].alias(f"h{i}") for i in range(8)]
+    return feats.select("media_id", "mean_e6", "std_e6", *hist_cols).orderBy("media_id")
+
+
+def _oracle_bmp_real_decode() -> str:
+    rows = []
+    for mid in range(48):
+        rng = np.random.default_rng(mid + 1)
+        w = 16 + (mid * 5) % 31
+        h = 16 + (mid * 11) % 17
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        hist = np.bincount(img.ravel() >> 5, minlength=8)
+        rows.append(
+            f"({mid}, {int(np.floor(img.mean() * 1e6 + 0.5))}, "
+            f"{int(np.floor(img.std() * 1e6 + 0.5))}, "
+            + ", ".join(str(int(x)) for x in hist)
+            + ")"
+        )
+    hcols = ", ".join(f"CAST(h{i} AS BIGINT) AS h{i}" for i in range(8))
+    hnames = ", ".join(f"h{i}" for i in range(8))
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(mean_e6 AS BIGINT) AS mean_e6, "
+        f"CAST(std_e6 AS BIGINT) AS std_e6, {hcols} FROM (VALUES "
+        + ", ".join(rows)
+        + f") t(media_id, mean_e6, std_e6, {hnames}) ORDER BY media_id"
+    )
+
+
+_lazy_oracle("multimodal_bmp_real_decode", _oracle_bmp_real_decode)
+
+
 @_register("multimodal_jpeg_encode_roundtrip")
 def q_multimodal_jpeg_encode_roundtrip(spark, sf_dir):
     """JPEG WRITE path end-to-end IN-CONTAINER: executor-side

@@ -75,6 +75,13 @@ def real_decode_image(data: bytes, *a) -> np.ndarray:
         if len(bands) == 1:
             return bands[1]
         return np.stack([bands[b] for b in sorted(bands)], axis=-1)
+    if data[:2] == b"BM":
+        from gdal_spark.sources.bmp import decode_bmp
+
+        bands, _ = decode_bmp(bytes(data))
+        if len(bands) == 1:
+            return bands[1]
+        return np.stack([bands[b] for b in sorted(bands)], axis=-1)
     if not _HAVE_PIL:  # pragma: no cover - PIL absent in this container
         raise NotImplementedError(
             "real decode of non-PNG/JPEG images needs PIL, which is not "
@@ -163,6 +170,34 @@ def synth_jpeg_media(spark: SparkSession, n: int) -> DataFrame:
                 img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
                 data = encode_jpeg(img, quality=100)
                 rows.append((mid, "image", data, bw * 8, bh * 8, 1, 0, 1))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "data", "width", "height",
+                         "channels", "sample_rate", "n_frames"],
+            )
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synth_bmp_media(spark: SparkSession, n: int) -> DataFrame:
+    """Media table with REAL BMP payloads (24-bit, deterministic pixels
+    seeded by media_id, encoded executor-side) — BMP is lossless, so the
+    codec-free seed oracle hash-matches exactly, like PNG."""
+    from gdal_spark.sources.bmp import encode_bmp
+
+    def gen(iterator):
+        for pdf in iterator:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                rng = np.random.default_rng(mid + 1)
+                w = 16 + (mid * 5) % 31
+                h = 16 + (mid * 11) % 17
+                img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                data = encode_bmp(
+                    {1: img[:, :, 0], 2: img[:, :, 1], 3: img[:, :, 2]}
+                )
+                rows.append((mid, "image", data, w, h, 3, 0, 1))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "kind", "data", "width", "height",
