@@ -878,6 +878,35 @@ def q_corpus_curation_pipeline(spark, sf_dir):
     )
 
 
+@_register(
+    "unigram_surprisal_scores",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents),
+    cnts AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+    tot AS (SELECT COUNT(*) AS n_total FROM w),
+    bits AS (
+      SELECT w.doc_id,
+             CAST(length(bin(CAST(tot.n_total AS BIGINT)))
+                  - length(bin(CAST(cnts.cnt AS BIGINT))) AS BIGINT) AS b
+      FROM w JOIN cnts USING (word) CROSS JOIN tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(b) AS BIGINT) AS surprisal_bits,
+           CAST(FLOOR(SUM(b) * 1000.0 / COUNT(*)) AS BIGINT) AS bits_per_word_e3
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_unigram_surprisal_scores(spark, sf_dir):
+    """CCNet-style LM quality scoring with the corpus unigram model —
+    whole-bit (length(bin(x))) surprisal keeps both engines float-free
+    and exact. The production form swaps the corpus model for a
+    broadcast trained LM in the same map-only join shape."""
+    return analysis.unigram_surprisal(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
 _LM_TEXT_SQL = (
     "array_to_string(list_transform("
     "generate_series(0, CAST((len(string_split_regex(trim(d.text), '\\s+')) + 7) // 8 AS INT) - 1),"

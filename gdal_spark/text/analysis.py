@@ -540,3 +540,49 @@ def line_metrics_sql(text_expr: str, sep_chr: str = "chr(10)") -> dict[str, str]
         "n_words": f"CAST(len({ws}) AS BIGINT)",
         "alpha_words": f"CAST({alpha} AS BIGINT)",
     }
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 §3.3 score
+    documents with a language model; the production form broadcasts a
+    trained model into a map-only pass) — here the corpus's own unigram
+    model with a FLOAT-FREE whole-bit surprisal so both engines agree
+    exactly: surprisal(w) = ⌊log2 N⌋ − ⌊log2 count(w)⌋ bits, computed as
+    ``length(bin(x))`` differences. Returns ``(id_col, n_words,
+    surprisal_bits, bits_per_word_e3)`` — high bits/word ≈ improbable
+    text (gibberish/rare-token soup), low ≈ common filler.
+
+    Scale shape: one (id, word) explode feeds both the count model and
+    the scoring join (localCheckpoint'd — Catalyst would recompute it);
+    the model is a (word, count) table joined back on the word key;
+    per-doc reduce on the 8-byte id. Three slim shuffles, text never
+    shuffles."""
+    w = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    ).localCheckpoint()
+    counts = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = w.agg(F.count(F.lit(1)).alias("n_total"))
+    bits = (
+        F.length(F.bin(F.col("n_total").cast("long")))
+        - F.length(F.bin(F.col("cnt").cast("long")))
+    ).cast("long")
+    scored = (
+        w.join(counts, "word")
+        .crossJoin(F.broadcast(total))
+        .select("id", bits.alias("bits"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("bits").alias("surprisal_bits"),
+            F.floor(F.sum("bits") * F.lit(1000) / F.count(F.lit(1)))
+            .cast("long").alias("bits_per_word_e3"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

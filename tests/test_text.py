@@ -513,3 +513,23 @@ def test_line_metrics(spark):
     assert r.ellipsis_lines == 2    # ... and …
     assert r.n_words == 11          # 'off...' is a single token
     assert r.alpha_words == 9       # '•' and '-' tokens have no letters
+
+
+def test_unigram_surprisal(spark):
+    """Whole-bit unigram surprisal: rare words score more bits than
+    common ones; totals are exact integers."""
+    from gdal_spark.text.analysis import unigram_surprisal
+
+    # corpus: 'common' x6, 'rare' x1, 'mid' x3 -> N=10 (4 bits)
+    docs = [(0, "common common common rare"),
+            (1, "common mid mid"),
+            (2, "common common mid")]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in unigram_surprisal(df).collect()}
+    # bits: common: L(10)-L(6)=4-3=1; rare: 4-1=3; mid: 4-2=2
+    assert got[0].surprisal_bits == 1 + 1 + 1 + 3
+    assert got[1].surprisal_bits == 1 + 2 + 2
+    assert got[2].surprisal_bits == 1 + 1 + 2
+    assert got[0].bits_per_word_e3 == 6000 // 4
+    # the rare-word doc scores strictly higher per word than the common one
+    assert got[0].bits_per_word_e3 > got[2].bits_per_word_e3
