@@ -556,32 +556,40 @@ def unigram_surprisal(
     surprisal_bits, bits_per_word_e3)`` — high bits/word ≈ improbable
     text (gibberish/rare-token soup), low ≈ common filler.
 
-    Scale shape: one (id, word) explode feeds both the count model and
-    the scoring join (localCheckpoint'd — Catalyst would recompute it);
-    the model is a (word, count) table joined back on the word key;
-    per-doc reduce on the 8-byte id. Three slim shuffles, text never
+    Scale shape: the token stream aggregates to per-doc wordcounts
+    FIRST (map-side combine), and THAT table — distinct (doc, word)
+    pairs, far smaller than the token stream — is what materializes
+    (localCheckpoint: it feeds both the model aggregate and the scoring
+    join, and Catalyst would recompute the explode for each). Model =
+    one more slim aggregate of it; scoring = word-keyed join weighted
+    by the per-doc count; per-doc reduce on the 8-byte id. Text never
     shuffles."""
-    w = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
-    ).localCheckpoint()
-    counts = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    total = w.agg(F.count(F.lit(1)).alias("n_total"))
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+        )
+        .groupBy("id", "word")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint()
+    )
+    counts = tf.groupBy("word").agg(F.sum("k").alias("cnt"))
+    total = tf.agg(F.sum("k").alias("n_total"))
     bits = (
         F.length(F.bin(F.col("n_total").cast("long")))
         - F.length(F.bin(F.col("cnt").cast("long")))
     ).cast("long")
     scored = (
-        w.join(counts, "word")
+        tf.join(counts, "word")
         .crossJoin(F.broadcast(total))
-        .select("id", bits.alias("bits"))
+        .select("id", F.col("k"), (bits * F.col("k")).alias("wbits"))
     )
     return (
         scored.groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("bits").alias("surprisal_bits"),
-            F.floor(F.sum("bits") * F.lit(1000) / F.count(F.lit(1)))
+            F.sum("k").cast("long").alias("n_words"),
+            F.sum("wbits").cast("long").alias("surprisal_bits"),
+            F.floor(F.sum("wbits") * F.lit(1000) / F.sum("k"))
             .cast("long").alias("bits_per_word_e3"),
         )
         .withColumnRenamed("id", id_col)
