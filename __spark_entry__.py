@@ -700,6 +700,20 @@ def q_quality_filter_verdicts(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+
+def _chunk8_lines():
+    """8-word pseudo-paragraph array over the `text` column — shared by
+    the line-dedup / curation / line-metrics / streaming-line gates (the
+    synthetic corpus is single-line; the DuckDB oracles use the matching
+    generate_series + list_slice chunking)."""
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.floor((F.size(ws) + F.lit(7)) / F.lit(8)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+    )
+
+
 @_register(
     "dedup_lines_ccnet",
     """
@@ -734,13 +748,7 @@ def q_dedup_lines_ccnet(spark, sf_dir):
     engines. Reference parity: OGR has no text dedup — this is the
     training-data-pipeline surface (SURVEY §2 LLM ops)."""
     d = _t(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), r"\s+")
-    nl = F.floor((F.size(ws) + F.lit(7)) / F.lit(8)).cast("int")
-    line_arr = F.transform(
-        F.sequence(F.lit(0), nl - 1),
-        lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
-    )
-    chunked = d.select("doc_id", F.array_join(line_arr, "\n").alias("text"))
+    chunked = d.select("doc_id", F.array_join(_chunk8_lines(), "\n").alias("text"))
     return dedup.line_dedup(chunked).select(
         "doc_id", "text", "n_lines", "n_kept"
     ).orderBy("doc_id")
@@ -851,13 +859,7 @@ def q_corpus_curation_pipeline(spark, sf_dir):
     the id reassembly, and the final text-hash group — the 100 TB corpus
     never materializes between stages."""
     d = _t(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), r"\s+")
-    nl = F.floor((F.size(ws) + F.lit(7)) / F.lit(8)).cast("int")
-    line_arr = F.transform(
-        F.sequence(F.lit(0), nl - 1),
-        lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
-    )
-    chunked = d.select("doc_id", F.array_join(line_arr, "\n").alias("text"))
+    chunked = d.select("doc_id", F.array_join(_chunk8_lines(), "\n").alias("text"))
     kept = analysis.quality_filter(chunked).filter("keep").select("doc_id", "text")
     ld = dedup.line_dedup(kept)
     uniq = (
@@ -937,14 +939,12 @@ def q_gopher_line_metrics(spark, sf_dir):
     deterministic 8-word pseudo-lines with bullets/ellipses — built
     with the identical index arithmetic on both engines."""
     d = _t(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), r"\s+")
-    nl = F.floor((F.size(ws) + F.lit(7)) / F.lit(8)).cast("int")
     doc = F.col("doc_id")
     dec = F.transform(
-        F.sequence(F.lit(0), nl - 1),
-        lambda i: F.concat(
+        _chunk8_lines(),
+        lambda x, i: F.concat(
             F.when((doc + i) % 3 == 0, F.lit("• ")).otherwise(F.lit("")),
-            F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+            x,
             F.when((doc + i) % 5 == 0, F.lit(" ...")).otherwise(F.lit("")),
         ),
     )
@@ -4077,15 +4077,9 @@ def q_streaming_line_dedup_count(spark, sf_dir):
         .option("maxFilesPerTrigger", "1")
         .parquet(tmpdir)
     )
-    ws = F.split(F.trim(F.col("text")), r"\s+")
-    nl = F.floor((F.size(ws) + F.lit(7)) / F.lit(8)).cast("int")
-    line_arr = F.transform(
-        F.sequence(F.lit(0), nl - 1),
-        lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
-    )
     lines = stream.select(
         F.current_timestamp().alias("ts"),
-        F.explode(line_arr).alias("line"),
+        F.explode(_chunk8_lines()).alias("line"),
     ).select("ts", F.trim(F.col("line")).alias("key"))
     deduped = lines.withWatermark("ts", "1 hour").dropDuplicates(["key"])
     name = f"stream_ld_{int(_time.time() * 1000) % 10_000_000}"

@@ -43,13 +43,13 @@ def _ring_wkb(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series,
 
 def tile_index(
     catalog: DataFrame,
-    location_col: str = "location",
     geom_col: str = "geometry",
 ) -> DataFrame:
-    """``catalog``: one row per raster with columns ``location_col,
-    width, height, gt0, gt1, gt2, gt3, gt4, gt5``. Returns the catalog
-    plus ``geom_col`` (extent polygon WKB) and ``xmin/ymin/xmax/ymax``
-    (the bbox of the four corners — valid for rotated transforms too).
+    """``catalog``: one row per raster with columns ``width, height,
+    gt0..gt5`` plus any identifying columns (location, path, …) which
+    pass through untouched. Returns the catalog plus ``geom_col``
+    (extent polygon WKB) and ``xmin/ymin/xmax/ymax`` (the bbox of the
+    four corners — valid for rotated transforms too).
     """
     W = F.col("width").cast("double")
     H = F.col("height").cast("double")
@@ -111,9 +111,12 @@ def vector_tile_index(layers: list) -> DataFrame:
     LOCATION string + the layer-extent polygon. ``layers``: list of
     ``(location, DataFrame)``; geometry column must be ``geometry``.
     Each layer's extent is its own distributed reduce; the index union
-    is len(layers) single rows."""
+    is len(layers) single rows. Layers with no (non-empty) geometries
+    get a NULL extent polygon rather than failing."""
     import struct as _struct
 
+    if not layers:
+        raise ValueError("vector_tile_index needs at least one layer")
     out = None
     for location, df in layers:
         one = layer_extent(df).select(
@@ -127,7 +130,8 @@ def vector_tile_index(layers: list) -> DataFrame:
                  ) -> pd.Series:
         head = _struct.pack("<BII", 1, 3, 1)
         return pd.Series([
-            head + _struct.pack("<I10d", 5, a, b, c, b, c, d, a, d, a, b)
+            None if a is None or pd.isna(a)  # empty layer → NULL geometry
+            else head + _struct.pack("<I10d", 5, a, b, c, b, c, d, a, d, a, b)
             for a, b, c, d in zip(x0, y0, x1, y1)
         ])
 

@@ -855,14 +855,11 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75,
     dc_c = _enc_codes(*_DC_CHROMA_HUFF)
     ac_c = _enc_codes(*_AC_CHROMA_HUFF)
     codes = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (ncomp - 1)
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # nmx/nmy sized the plane padding above — the MCU loop MUST agree
     bw_ = _BitWriter()
     preds = [0] * ncomp
-    for my in range(mcuy):
-        for mx in range(mcux):
+    for my in range(nmy):
+        for mx in range(nmx):
             for ci in range(ncomp):
                 hf, vf = samp[ci]
                 for by in range(vf):

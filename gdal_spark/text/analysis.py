@@ -78,9 +78,14 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.withColumn("n_tokens", n)
         .withColumn(
             "mean_token_len_e3",
-            F.floor(char_sum * F.lit(1000) / n).cast("long"),
+            # cast before the multiply: int32 products wrap silently
+            # with ANSI off (chars >= ~2.1M / stopword hits >= 2148)
+            F.floor(char_sum.cast("long") * F.lit(1000) / n).cast("long"),
         )
-        .withColumn("stop_ratio_e6", F.floor(stops * F.lit(1_000_000) / n).cast("long"))
+        .withColumn(
+            "stop_ratio_e6",
+            F.floor(stops.cast("long") * F.lit(1_000_000) / n).cast("long"),
+        )
         .withColumn(
             "n_punct",
             F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.,;:!?]"), F.lit(0))),
@@ -227,12 +232,17 @@ def quality_filter(df: DataFrame, text_col: str = "text", **overrides) -> DataFr
     d = quality_metrics(df, text_col)
     d = repetition_metrics(d, text_col)
     n = F.col("n_words").cast("long")
-    dup2_e6 = F.floor(F.col("dup2") * F.lit(1_000_000)
+    # counts are IntegerType — cast BEFORE the e6 multiply or the int32
+    # product wraps silently (ANSI off) for counts >= 2148, flipping
+    # verdicts on exactly the huge/spammy docs these rules target
+    dup2_e6 = F.floor(F.col("dup2").cast("long") * F.lit(1_000_000)
                       / F.greatest(n - 1, F.lit(1))).cast("long")
-    dup3_e6 = F.floor(F.col("dup3") * F.lit(1_000_000)
+    dup3_e6 = F.floor(F.col("dup3").cast("long") * F.lit(1_000_000)
                       / F.greatest(n - 2, F.lit(1))).cast("long")
-    top_e6 = F.floor(F.col("top_word_n") * F.lit(1_000_000) / n).cast("long")
-    punct_e6 = F.floor(F.col("n_punct") * F.lit(1_000_000) / n).cast("long")
+    top_e6 = F.floor(F.col("top_word_n").cast("long") * F.lit(1_000_000)
+                     / n).cast("long")
+    punct_e6 = F.floor(F.col("n_punct").cast("long") * F.lit(1_000_000)
+                       / n).cast("long")
     checks = {
         "doc_length": (n < rules["min_words"]) | (n > rules["max_words"]),
         "mean_word_length": (F.col("mean_token_len_e3") < rules["min_mean_token_len_e3"])
@@ -476,7 +486,7 @@ def token_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_bpe_tokens", n_bpe)
         .withColumn(
             "chars_per_token_e3",
-            F.floor(F.length(F.col(text_col)) * F.lit(1000)
+            F.floor(F.length(F.col(text_col)).cast("long") * F.lit(1000)
                     / F.greatest(n_bpe, F.lit(1))).cast("long"),
         )
     )

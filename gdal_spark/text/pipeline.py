@@ -53,7 +53,10 @@ def curate(
     ld = dedup.line_dedup(out, id_col, text_col, sep=line_sep, keep=line_keep)
     return (
         ld.filter(F.col("n_kept") > 0)
-        .groupBy(text_col)
+        # hash-first grouping (exact_dedup's discipline, dedup.py:33):
+        # the 8-byte xxhash64 leads the shuffle key; the text column in
+        # the group only disambiguates the ~0 colliding hash groups
+        .groupBy(F.xxhash64(text_col).alias("__h"), text_col)
         .agg(F.min(F.struct(id_col, "n_lines", "n_kept")).alias("m"))
         .select(
             F.col(f"m.{id_col}").alias(id_col),

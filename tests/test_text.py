@@ -533,3 +533,17 @@ def test_unigram_surprisal(spark):
     assert got[0].bits_per_word_e3 == 6000 // 4
     # the rare-word doc scores strictly higher per word than the common one
     assert got[0].bits_per_word_e3 > got[2].bits_per_word_e3
+
+
+def test_quality_filter_no_int32_overflow(spark):
+    """Counts >= 2148 used to wrap in the int32 e6 multiply (ANSI off),
+    flipping verdicts on exactly the spammy docs the rules target."""
+    from gdal_spark.text.analysis import quality_filter, quality_metrics
+
+    spam = "a " * 5000 + "filler"          # top word 5000x -> top_e6 huge
+    df = spark.createDataFrame([(0, spam)], "doc_id LONG, text STRING")
+    r = quality_filter(df).collect()[0]
+    assert not r.keep                       # must reject, not wrap negative
+    # stop_ratio numerator ('a' is a stopword, 5000 hits) also must not wrap
+    m = quality_metrics(df).collect()[0]
+    assert m.stop_ratio_e6 > 0
